@@ -1,0 +1,98 @@
+"""Golden parity vs the reference ffmpeg binary (framework analog of the
+FATE enc_dec harness, tests/fate-run.sh:171-193 and tests/fate/vcodec.mak).
+
+Three assertions per config:
+  1. our encoder's packets are byte-identical to the reference encoder's
+  2. our decoder losslessly decodes the reference encoder's stream
+  3. the reference binary losslessly decodes our encoder's stream
+"""
+import os
+
+import numpy as np
+import pytest
+
+from tpu_ffv1 import EncoderParams, FFV1Decoder, FFV1Encoder
+from tpu_ffv1.io.avi import AviStream, write_avi
+
+from .util import (extradata_equal, frames_equal, have_reference, ref_decode,
+                   ref_encode, synth_frames)
+
+pytestmark = pytest.mark.skipif(
+    not have_reference(), reason="reference ffmpeg binary not built")
+
+W, H, N = 48, 40, 6
+
+CONFIGS = [
+    # (label, pix_fmt, ref encopts, our EncoderParams kwargs)
+    ("v0_420_rice", "yuv420p", [], {}),
+    ("v3_420_s4_rice", "yuv420p", ["-slices", "4", "-strict", "-2"],
+     dict(slices=4, strict=-2)),
+    ("v3_420_s4_range", "yuv420p", ["-level", "3", "-coder", "2",
+                                    "-slices", "4"],
+     dict(level=3, coder=2, slices=4)),
+    ("v3_420_rangedef", "yuv420p", ["-level", "3", "-coder", "-2",
+                                    "-slices", "4"],
+     dict(level=3, coder=-2, slices=4)),
+    ("v1_range", "yuv420p", ["-level", "1", "-coder", "2"],
+     dict(level=1, coder=2)),
+    ("v3_ctx1", "yuv420p", ["-context", "1", "-slices", "4",
+                            "-strict", "-2"],
+     dict(context_model=1, slices=4, strict=-2)),
+    ("v3_422p10", "yuv422p10le", ["-level", "3", "-slices", "4"],
+     dict(level=3, slices=4)),
+    ("v3_444p16", "yuv444p16le", ["-level", "3", "-slices", "4"],
+     dict(level=3, slices=4)),
+    ("v0_gray", "gray", [], {}),
+    ("v1_gray16", "gray16le", [], {}),
+    ("v0_410", "yuv410p", [], {}),
+    ("v0_411", "yuv411p", [], {}),
+    ("v3_bgr0", "bgr0", ["-level", "3", "-slices", "4"],
+     dict(level=3, slices=4)),
+    ("v3_bgra", "bgra", ["-level", "3", "-slices", "4"],
+     dict(level=3, slices=4)),
+    ("v3_gbrp12", "gbrp12le", ["-level", "3", "-slices", "4"],
+     dict(level=3, slices=4)),
+    ("v3_yuva420", "yuva420p", ["-level", "3", "-slices", "4"],
+     dict(level=3, slices=4)),
+    ("v0_ya8", "ya8", [], {}),
+    ("v0_intra_gop1", "yuv420p", ["-g", "1"], dict(gop_size=1)),
+    ("v3_gop3", "yuv420p", ["-g", "3", "-slices", "4", "-strict", "-2"],
+     dict(gop_size=3, slices=4, strict=-2)),
+    ("v3_440", "yuv440p", ["-level", "3", "-slices", "4"],
+     dict(level=3, slices=4)),
+]
+
+
+@pytest.mark.parametrize("label,pix_fmt,encopts,kwargs",
+                         CONFIGS, ids=[c[0] for c in CONFIGS])
+def test_parity(tmp_path, label, pix_fmt, encopts, kwargs):
+    tmpdir = str(tmp_path)
+    frames = synth_frames(pix_fmt, W, H, N)
+    avi = os.path.join(tmpdir, "ref.avi")
+    st = ref_encode(frames, pix_fmt, W, H, encopts, avi, tmpdir)
+
+    # 1) byte-exact encode
+    enc = FFV1Encoder(EncoderParams(width=W, height=H, pix_fmt=pix_fmt,
+                                    **kwargs))
+    assert extradata_equal(st.extradata, enc.extradata or b"")
+    mypkts = []
+    mykeys = []
+    for i, f in enumerate(frames):
+        pkt, key = enc.encode_frame(f)
+        mypkts.append(pkt)
+        mykeys.append(key)
+        assert pkt == st.packets[i], \
+            f"frame {i} differs (mine {len(pkt)}B ref {len(st.packets[i])}B)"
+
+    # 2) our decoder on the reference stream
+    dec = FFV1Decoder(W, H, st.extradata or None)
+    decoded = [dec.decode_frame(p)[0] for p in st.packets]
+    assert frames_equal(decoded, frames)
+
+    # 3) reference decoder on our stream (via our AVI muxer)
+    my_avi = os.path.join(tmpdir, "mine.avi")
+    write_avi(my_avi, AviStream(width=W, height=H,
+                                extradata=enc.extradata or b"",
+                                packets=mypkts, keyflags=mykeys))
+    ref_frames = ref_decode(my_avi, pix_fmt, W, H, tmpdir)
+    assert frames_equal(ref_frames, frames)

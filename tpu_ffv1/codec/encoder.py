@@ -1,0 +1,169 @@
+"""Frame-level FFV1 encoder (host/spec path).
+
+Produces packets byte-identical to the reference encoder
+(libavcodec/ffv1enc.c:1146-1373) for the same inputs and parameters.
+
+Usage:
+    enc = FFV1Encoder(EncoderParams(width=..., height=..., pix_fmt=...))
+    pkt, key = enc.encode_frame(frame_planes)
+    enc.extradata  # container global header (None for version < 2)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.headers import (write_extradata, write_frame_header_v01,
+                                 write_frame_header_v2, write_slice_header)
+from ..core import tables as T
+from ..core.crc import crc32_ieee
+from ..core.golomb import BitWriter
+from ..core.rac import RangeEncoder, custom_state_tables, default_state_tables
+from ..core.intmath import ceil_rshift
+from .context import alloc_slice_state, clear_slice_state, slice_grid
+from .params import EncoderParams, ResolvedParams, resolve
+from .slice_codec import encode_plane, encode_rgb_frame
+
+
+class FFV1Encoder:
+    def __init__(self, params: EncoderParams):
+        self.params = params
+        self.rp: ResolvedParams = resolve(params)
+        rp = self.rp
+        self.extradata = write_extradata(rp) if rp.version > 1 else None
+        self.geoms = slice_grid(rp.width, rp.height,
+                                rp.num_h_slices, rp.num_v_slices)
+        self.slices = [alloc_slice_state(rp, g) for g in self.geoms]
+        self.picture_number = 0
+        self.key_frame = False
+        if rp.ac == T.AC_RANGE_CUSTOM_TAB:
+            self._slice_tables = custom_state_tables(rp.state_transition)
+        else:
+            self._slice_tables = default_state_tables()
+
+    # -- helpers ----------------------------------------------------------
+
+    def _slice_planes(self, planes, geom):
+        """Crop input planes to one slice's rectangle."""
+        rp = self.rp
+        fmt = rp.fmt
+        x, y, w, h = geom.x, geom.y, geom.width, geom.height
+        if rp.colorspace == 1:
+            if rp.bits_per_raw_sample <= 8:
+                return planes[0][y:y + h, x:x + w]  # (h, w, 4) view
+            return [p[y:y + h, x:x + w] for p in planes]
+        if fmt.interleaved:  # ya8
+            return planes[0][y:y + h, x:x + w]      # (h, w, 2) view
+        out = [planes[0][y:y + h, x:x + w]]
+        if rp.chroma_planes:
+            hs, vs = rp.chroma_h_shift, rp.chroma_v_shift
+            cx, cy = x >> hs, y >> vs
+            cw, ch = ceil_rshift(w, hs), ceil_rshift(h, vs)
+            out.append(planes[1][cy:cy + ch, cx:cx + cw])
+            out.append(planes[2][cy:cy + ch, cx:cx + cw])
+        if rp.transparency:
+            out.append(planes[-1][y:y + h, x:x + w])
+        return out
+
+    def _encode_slice(self, si: int, planes, keyframe: bool,
+                      rc: RangeEncoder, stat_hook=None) -> bytes:
+        """ffv1enc.c:1146-1220 (no PCM retry: host buffers are unbounded)."""
+        rp = self.rp
+        ss = self.slices[si]
+        geom = ss.geom
+        ss.slice_coding_mode = 0
+        ss.slice_rct_by_coef = 1
+        ss.slice_rct_ry_coef = 1
+
+        if keyframe:
+            clear_slice_state(rp, ss)
+        if rp.version > 2:
+            write_slice_header(rp, ss, rc)
+
+        pb = BitWriter()
+        ac_bytes = b""
+        if rp.ac == T.AC_GOLOMB_RICE:
+            if rp.version > 2:
+                sentinel = np.array([129], dtype=np.uint8)
+                rc.put_rac(sentinel, 0, 0)
+            if rp.version > 2 or (geom.x == 0 and geom.y == 0):
+                ac_bytes = rc.terminate()
+            # else: coder output discarded (cannot happen: v<=2 is 1 slice)
+        coder = (rc, pb)
+
+        sp = self._slice_planes(planes, geom)
+        w, h = geom.width, geom.height
+        bits = 8 if rp.bits_per_raw_sample <= 8 else rp.bits_per_raw_sample
+
+        if rp.colorspace == 0 and not rp.fmt.interleaved:
+            encode_plane(rp, ss, coder, sp[0], w, h, 0, bits, stat_hook)
+            if rp.chroma_planes:
+                cw, ch = ceil_rshift(w, rp.chroma_h_shift), \
+                    ceil_rshift(h, rp.chroma_v_shift)
+                encode_plane(rp, ss, coder, sp[1], cw, ch, 1, bits, stat_hook)
+                encode_plane(rp, ss, coder, sp[2], cw, ch, 1, bits, stat_hook)
+            if rp.transparency:
+                encode_plane(rp, ss, coder, sp[-1], w, h, 2, bits, stat_hook)
+        elif rp.colorspace == 0 and rp.fmt.interleaved:  # ya8
+            encode_plane(rp, ss, coder, sp[..., 0], w, h, 0, 8, stat_hook)
+            encode_plane(rp, ss, coder, sp[..., 1], w, h, 1, 8, stat_hook)
+        else:
+            encode_rgb_frame(rp, ss, coder, sp, w, h, stat_hook)
+
+        if rp.ac != T.AC_GOLOMB_RICE:
+            sentinel = np.array([129], dtype=np.uint8)
+            rc.put_rac(sentinel, 0, 0)
+            return rc.terminate()
+        return ac_bytes + pb.flush()
+
+    # -- public API -------------------------------------------------------
+
+    def encode_frame(self, planes) -> tuple[bytes, bool]:
+        """Encode one frame; returns (packet bytes, is_keyframe).
+
+        ``planes``: see codec/pixfmt.py frame data convention.
+        """
+        rp = self.rp
+        if not isinstance(planes, (list, tuple)):
+            planes = [planes]
+        planes = [np.asarray(p) for p in planes]
+
+        keyframe = (rp.gop_size == 0 or
+                    self.picture_number % rp.gop_size == 0)
+        self.key_frame = keyframe
+
+        # Slice 0's coder starts with the default tables: the keyframe bit
+        # (and the v<3 in-band header) are coded before the custom-table
+        # switch (ffv1enc.c:1287-1315).
+        rc0 = RangeEncoder(*default_state_tables())
+        keystate = np.array([128], dtype=np.uint8)
+        rc0.put_rac(keystate, 0, 1 if keyframe else 0)
+        if keyframe:
+            if rp.version < 2:
+                write_frame_header_v01(rp, rc0)
+            elif rp.version == 2:
+                write_frame_header_v2(rp, self.slices, rc0)
+        if rp.ac == T.AC_RANGE_CUSTOM_TAB:
+            rc0.set_tables(*self._slice_tables)
+
+        payloads = []
+        for si in range(len(self.slices)):
+            if si == 0:
+                rc = rc0
+            else:
+                rc = RangeEncoder(*self._slice_tables)
+            payloads.append(self._encode_slice(si, planes, keyframe, rc))
+
+        out = bytearray()
+        for si, payload in enumerate(payloads):
+            chunk = bytearray(payload)
+            if si > 0 or rp.version > 2:
+                # 3-byte big-endian length footer (ffv1enc.c:1339-1345)
+                chunk += len(payload).to_bytes(3, "big")
+            if rp.ec:
+                chunk.append(0)
+                crc = crc32_ieee(bytes(chunk))
+                chunk += int(crc).to_bytes(4, "little")
+            out += chunk
+
+        self.picture_number += 1
+        return bytes(out), keyframe
