@@ -82,61 +82,70 @@ def test_symbol_unsigned_roundtrip():
         assert get_symbol(dec, st, False) == v
 
 
-def test_carry_resolve_matches_outstanding():
-    """The provisional-byte formulation must emit the same bytes as the
-    outstanding-byte encoder (basis of the TPU scan kernel)."""
+def test_provisional_encoder_matches_outstanding():
+    """ProvisionalRangeEncoder + carry_resolve must emit the same bytes as
+    the outstanding-byte encoder (basis of the TPU scan kernel)."""
+    from tpu_ffv1.core.rac import ProvisionalRangeEncoder
+
     rng = np.random.RandomState(11)
     bits = rng.randint(0, 2, 4096)
-    # run the outstanding-byte encoder and capture provisional stream
     enc = RangeEncoder()
-    prov = []
-    orig_renorm = enc._renorm
-
-    def renorm_with_capture():
-        while enc.range < 0x100:
-            prov.append(enc.low >> 8)
-            enc.low = (enc.low & 0xFF) << 8
-            enc.range <<= 8
-    # re-run separately: one encoder with capture-only renorm semantics
-    enc2 = RangeEncoder()
+    penc = ProvisionalRangeEncoder()
     st = np.array([200], dtype=np.uint8)
     st2 = np.array([200], dtype=np.uint8)
     for b in bits:
         enc.put_rac(st, 0, int(b))
+        penc.put_rac(st2, 0, int(b))
     data = enc.terminate()
+    penc.terminate_provisional()
+    assert penc.to_bytes() == data
 
-    def put_rac_prov(states, i, bit):
-        s = int(states[i])
-        range1 = (enc2.range * s) >> 8
-        if not bit:
-            enc2.range -= range1
-            states[i] = enc2.zero_state[s]
-        else:
-            enc2.low += enc2.range - range1
-            enc2.range = range1
-            states[i] = enc2.one_state[s]
-        while enc2.range < 0x100:
-            prov.append(enc2.low >> 8)
-            enc2.low = (enc2.low & 0xFF) << 8
-            enc2.range <<= 8
 
-    for b in bits:
-        put_rac_prov(st2, 0, int(b))
-    # terminate in provisional form
-    enc2.range = 0xFF
-    enc2.low += 0xFF
-    while enc2.range < 0x100:
-        prov.append(enc2.low >> 8)
-        enc2.low = (enc2.low & 0xFF) << 8
-        enc2.range <<= 8
-    enc2.range = 0xFF
-    while enc2.range < 0x100:
-        prov.append(enc2.low >> 8)
-        enc2.low = (enc2.low & 0xFF) << 8
-        enc2.range <<= 8
-    resolved = carry_resolve(np.array(prov))
-    # final provisional byte is held back (never flushed by terminate)
-    assert bytes(resolved[:-1]) == data
+def test_carry_resolve_matches_c_renorm_machine():
+    """Fuzz the provisional carry resolution against a direct emulation of
+    the reference's outstanding-byte renorm (rangecoder.h:52-75), over
+    arbitrary low sequences — this covers the pathological corners
+    (pending-0xFF runs, carry truncation at an exact-0xFF00 emission)."""
+    from tpu_ffv1.core.rac import prov_value
+
+    rng = np.random.RandomState(23)
+    for trial in range(500):
+        n = rng.randint(2, 60)
+        lows = rng.randint(0, 0x20000, n)
+        lows[0] = rng.randint(0, 0x10000)  # no carry out of the front
+        # bias toward the corner cases
+        mask = rng.rand(n) < 0.4
+        lows[mask] = rng.choice(
+            [0xFF00, 0xFF01, 0xFFFF, 0x10000, 0x1FF00, 0x1FFFF],
+            size=mask.sum())
+        # front byte must neither generate nor propagate a carry (real
+        # streams can't carry out of the first byte)
+        lows[0] = min(int(lows[0]), 0xFE00)
+        lows = np.append(lows, [0, 0])  # flush pendings at the end
+
+        # reference outstanding-byte machine
+        out = []
+        ob, cnt = -1, 0
+        for lw in lows:
+            lw = int(lw)
+            if ob < 0:
+                ob = lw >> 8
+            elif lw <= 0xFF00:
+                out.append(ob)
+                out.extend([0xFF] * cnt)
+                cnt = 0
+                ob = lw >> 8
+            elif lw >= 0x10000:
+                out.append((ob + 1) & 0xFF)
+                out.extend([0x00] * cnt)
+                cnt = 0
+                ob = (lw >> 8) & 0xFF
+            else:
+                cnt += 1
+
+        prov = np.array([prov_value(int(lw)) for lw in lows])
+        resolved = carry_resolve(prov)
+        assert list(resolved[:-1]) == out, f"trial {trial}"
 
 
 @pytest.mark.parametrize("k", [0, 1, 2, 5, 8])

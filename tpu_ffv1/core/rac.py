@@ -165,23 +165,96 @@ class RangeEncoder:
         return bytes(self.out)
 
 
-def carry_resolve(provisional: np.ndarray) -> np.ndarray:
-    """Resolve 9-bit provisional renorm bytes into final coded bytes.
+def prov_value(low: int) -> int:
+    """Encode one renorm emission as a provisional value.
 
-    ``provisional[k]`` = (low >> 8) at the k-th renorm, *before* masking, so
-    bit 8 is a carry owed to byte k-1.  Right-to-left carry propagation
-    reproduces the outstanding-byte scheme exactly (see module docstring).
+    Bits 0..8: low >> 8 (bit 8 = carry owed to the previous byte).
+    Bit 16:    (low & 0xFF) != 0 — distinguishes the C coder's
+    pending-0xFF case (low in (0xFF00, 0x10000): carry propagates through)
+    from the exact low == 0xFF00 emission (a later carry into that byte is
+    *truncated*, mirroring ``outstanding_byte + 1`` overflowing uint8 in
+    rangecoder.h:63-67).
+    """
+    return (low >> 8) | ((1 << 16) if (low & 0xFF) else 0)
+
+
+def carry_resolve(provisional: np.ndarray) -> np.ndarray:
+    """Resolve provisional renorm values into final coded bytes.
+
+    Exact-C carry semantics (rangecoder.h:52-75): per value, generate
+    g = bit 8, propagate p = (value == 0xFF and low-byte flag set); the
+    carry into byte k-1 is g | (p & carry_in) — an incoming carry never
+    cascades past a non-pending byte (uint8 truncation in the reference).
     This is the host-side mirror of the TPU encoder's final pass.
     """
     v = np.asarray(provisional, dtype=np.int64)
     out = np.zeros(len(v), dtype=np.uint8)
     carry = 0
     for k in range(len(v) - 1, -1, -1):
-        t = v[k] + carry
-        out[k] = t & 0xFF
-        carry = t >> 8
+        val9 = v[k] & 0x1FF
+        flag = (v[k] >> 16) & 1
+        out[k] = (val9 + carry) & 0xFF
+        carry = ((v[k] >> 8) & 1) | (1 if (val9 == 0xFF and flag and carry)
+                                     else 0)
     assert carry == 0, "carry out of the first coded byte"
     return out
+
+
+class ProvisionalRangeEncoder:
+    """Range encoder in the carry-free provisional-byte formulation.
+
+    Emits the 9-bit provisional renorm values instead of resolved bytes;
+    ``carry_resolve(prov)[:-1]`` after ``terminate()`` yields exactly the
+    bytes the outstanding-byte encoder produces (validated in
+    tests/test_core.py).  Used to hand partially-encoded slices (keyframe
+    bit, slice headers) to the TPU scan kernel, which continues from
+    (low, range) and appends further provisional values.
+    """
+
+    def __init__(self, one_state=None, zero_state=None):
+        if one_state is None:
+            one_state, zero_state = _DEFAULT_ONE, _DEFAULT_ZERO
+        self.one_state = np.asarray(one_state, dtype=np.uint8)
+        self.zero_state = np.asarray(zero_state, dtype=np.uint8)
+        self.low = 0
+        self.range = 0xFF00
+        self.prov: list[int] = []
+
+    def set_tables(self, one_state, zero_state):
+        self.one_state = np.asarray(one_state, dtype=np.uint8)
+        self.zero_state = np.asarray(zero_state, dtype=np.uint8)
+
+    def put_rac(self, states, i, bit):
+        s = int(states[i])
+        range1 = (self.range * s) >> 8
+        if not bit:
+            self.range -= range1
+            states[i] = self.zero_state[s]
+        else:
+            self.low += self.range - range1
+            self.range = range1
+            states[i] = self.one_state[s]
+        if self.range < 0x100:
+            self.prov.append(prov_value(self.low))
+            self.low = (self.low & 0xFF) << 8
+            self.range <<= 8
+
+    def terminate_provisional(self):
+        """Append the two terminate renorm values (the last one is the
+        never-flushed outstanding byte: drop it after carry_resolve)."""
+        self.range = 0xFF
+        self.low += 0xFF
+        self.prov.append(prov_value(self.low))
+        self.low = (self.low & 0xFF) << 8
+        self.range = 0xFF00
+        self.range = 0xFF
+        self.prov.append(prov_value(self.low))
+        self.low = (self.low & 0xFF) << 8
+        self.range = 0xFF00
+        return self.prov
+
+    def to_bytes(self) -> bytes:
+        return bytes(carry_resolve(np.array(self.prov, dtype=np.int64))[:-1])
 
 
 class RangeDecoder:
