@@ -36,7 +36,14 @@ class _DecParams:
 
 
 class FFV1Decoder:
-    def __init__(self, width: int, height: int, extradata: bytes | None = None):
+    """Host FFV1 decoder.  ``engine``: "spec" | "native" | "auto"."""
+
+    def __init__(self, width: int, height: int,
+                 extradata: bytes | None = None, engine: str = "auto"):
+        if engine == "auto":
+            from .. import native as _native
+            engine = "native" if _native.available() else "spec"
+        self.engine = engine
         self.width = width
         self.height = height
         self.version = 0
@@ -256,27 +263,42 @@ class FFV1Decoder:
         g = ss.geom
         w, h, x, y = g.width, g.height, g.x, g.y
         bits = self.bits_per_raw_sample
+        use_native = self.engine == "native"
+        if use_native:
+            from .. import native as N
+
+            def dec_plane(dst, pw, ph, pi, pbits):
+                N.decode_plane(rp, ss, None, coder, dst, pw, ph, pi,
+                               pbits, buf)
+
+            def dec_rgb(dstp, pw, ph):
+                N.decode_rgb(self, ss, coder, dstp, pw, ph, buf)
+        else:
+            def dec_plane(dst, pw, ph, pi, pbits):
+                decode_plane(rp, ss, coder, dst, pw, ph, pi, pbits)
+
+            def dec_rgb(dstp, pw, ph):
+                rp.context_model = 0
+                decode_rgb_frame(rp, ss, coder, dstp, pw, ph)
 
         if self.colorspace == 0 and (self.chroma_planes or
                                      not self.transparency):
-            decode_plane(rp, ss, coder, planes[0][y:y + h, x:x + w],
-                         w, h, 0, 8 if bits <= 8 else bits)
+            dec_plane(planes[0][y:y + h, x:x + w], w, h, 0,
+                      8 if bits <= 8 else bits)
             if self.chroma_planes:
                 hs, vs = self.chroma_h_shift, self.chroma_v_shift
                 cw, ch = ceil_rshift(w, hs), ceil_rshift(h, vs)
                 cx, cy = x >> hs, y >> vs
-                decode_plane(rp, ss, coder,
-                             planes[1][cy:cy + ch, cx:cx + cw], cw, ch, 1,
-                             8 if bits <= 8 else bits)
-                decode_plane(rp, ss, coder,
-                             planes[2][cy:cy + ch, cx:cx + cw], cw, ch, 1,
-                             8 if bits <= 8 else bits)
+                dec_plane(planes[1][cy:cy + ch, cx:cx + cw], cw, ch, 1,
+                          8 if bits <= 8 else bits)
+                dec_plane(planes[2][cy:cy + ch, cx:cx + cw], cw, ch, 1,
+                          8 if bits <= 8 else bits)
             if self.transparency:
                 pidx = 1 if (self.version >= 4 and not self.chroma_planes) \
                     else 2
-                decode_plane(rp, ss, coder, planes[-1][y:y + h, x:x + w],
-                             w, h, pidx, 8 if bits <= 8 else bits)
-        elif self.colorspace == 0:  # ya8
+                dec_plane(planes[-1][y:y + h, x:x + w], w, h, pidx,
+                          8 if bits <= 8 else bits)
+        elif self.colorspace == 0:  # ya8 (interleaved: spec engine only)
             sp = planes[0][y:y + h, x:x + w]
             decode_plane(rp, ss, coder, sp[..., 0], w, h, 0, 8)
             decode_plane(rp, ss, coder, sp[..., 1], w, h, 1, 8)
@@ -285,8 +307,7 @@ class FFV1Decoder:
                 sp = planes[0][y:y + h, x:x + w]
             else:
                 sp = [p[y:y + h, x:x + w] for p in planes]
-            rp.context_model = 0
-            decode_rgb_frame(rp, ss, coder, sp, w, h)
+            dec_rgb(sp, w, h)
 
         if self.ac != T.AC_GOLOMB_RICE and self.version > 2:
             sentinel = np.array([129], dtype=np.uint8)

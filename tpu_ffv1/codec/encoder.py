@@ -25,10 +25,22 @@ from .slice_codec import encode_plane, encode_rgb_frame
 
 
 class FFV1Encoder:
-    def __init__(self, params: EncoderParams):
+    """Host FFV1 encoder.
+
+    ``engine``: "spec" (pure-Python oracle), "native" (C runtime), or
+    "auto" (native when the library builds, else spec).  Both engines are
+    byte-identical; two-pass statistics (pass1) force the spec engine.
+    """
+
+    def __init__(self, params: EncoderParams, engine: str = "auto"):
         self.params = params
         self.rp: ResolvedParams = resolve(params)
         rp = self.rp
+        if engine == "auto":
+            from .. import native as _native
+            engine = "native" if (_native.available() and not rp.pass1) \
+                else "spec"
+        self.engine = engine
         self.extradata = write_extradata(rp) if rp.version > 1 else None
         self.geoms = slice_grid(rp.width, rp.height,
                                 rp.num_h_slices, rp.num_v_slices)
@@ -94,20 +106,40 @@ class FFV1Encoder:
         w, h = geom.width, geom.height
         bits = 8 if rp.bits_per_raw_sample <= 8 else rp.bits_per_raw_sample
 
+        use_native = self.engine == "native" and stat_hook is None
+        if use_native:
+            from .. import native as N
+            nsc = N.NativeSliceCoder(
+                rp, w * h * (1 + rp.bits_per_raw_sample // 8) * 4 + 4096)
+
+            def enc_plane(src, pw, ph, pi, pbits):
+                N.encode_plane(rp, ss, nsc, coder, np.asarray(src),
+                               pw, ph, pi, pbits)
+
+            def enc_rgb(srcp, pw, ph):
+                N.encode_rgb(rp, ss, nsc, coder, srcp, pw, ph)
+        else:
+            def enc_plane(src, pw, ph, pi, pbits):
+                encode_plane(rp, ss, coder, src, pw, ph, pi, pbits,
+                             stat_hook)
+
+            def enc_rgb(srcp, pw, ph):
+                encode_rgb_frame(rp, ss, coder, srcp, pw, ph, stat_hook)
+
         if rp.colorspace == 0 and not rp.fmt.interleaved:
-            encode_plane(rp, ss, coder, sp[0], w, h, 0, bits, stat_hook)
+            enc_plane(sp[0], w, h, 0, bits)
             if rp.chroma_planes:
                 cw, ch = ceil_rshift(w, rp.chroma_h_shift), \
                     ceil_rshift(h, rp.chroma_v_shift)
-                encode_plane(rp, ss, coder, sp[1], cw, ch, 1, bits, stat_hook)
-                encode_plane(rp, ss, coder, sp[2], cw, ch, 1, bits, stat_hook)
+                enc_plane(sp[1], cw, ch, 1, bits)
+                enc_plane(sp[2], cw, ch, 1, bits)
             if rp.transparency:
-                encode_plane(rp, ss, coder, sp[-1], w, h, 2, bits, stat_hook)
+                enc_plane(sp[-1], w, h, 2, bits)
         elif rp.colorspace == 0 and rp.fmt.interleaved:  # ya8
-            encode_plane(rp, ss, coder, sp[..., 0], w, h, 0, 8, stat_hook)
-            encode_plane(rp, ss, coder, sp[..., 1], w, h, 1, 8, stat_hook)
+            enc_plane(np.ascontiguousarray(sp[..., 0]), w, h, 0, 8)
+            enc_plane(np.ascontiguousarray(sp[..., 1]), w, h, 1, 8)
         else:
-            encode_rgb_frame(rp, ss, coder, sp, w, h, stat_hook)
+            enc_rgb(sp, w, h)
 
         if rp.ac != T.AC_GOLOMB_RICE:
             sentinel = np.array([129], dtype=np.uint8)

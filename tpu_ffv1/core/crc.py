@@ -29,14 +29,36 @@ def _build_table() -> np.ndarray:
 _TABLE = _build_table()
 
 
-def crc32_ieee(data: bytes, crc: int = 0) -> int:
-    """av_crc(AV_CRC_32_IEEE) — returns the 32-bit checksum."""
+def _crc32_py(data: bytes, crc: int = 0) -> int:
     c = crc & 0xFFFFFFFF
     for b in data:
         c = int(_TABLE[(c ^ b) & 0xFF]) ^ (c >> 8)
     return c
 
 
-def crc32_ieee_np(data: bytes, crc: int = 0) -> int:
-    """Vectorized-ish fallback; identical result (still a serial chain)."""
-    return crc32_ieee(data, crc)
+def _load_native():
+    try:
+        from .. import native as _n
+        lib = _n.get_lib()
+        import ctypes as _ct
+        lib.ffv1n_crc32.restype = _ct.c_uint32
+        lib.ffv1n_crc32.argtypes = [_ct.c_char_p, _ct.c_int64, _ct.c_uint32]
+        return lib
+    except Exception:
+        return None
+
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def crc32_ieee(data: bytes, crc: int = 0) -> int:
+    """av_crc(AV_CRC_32_IEEE) — returns the 32-bit checksum."""
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE = _load_native()
+        _NATIVE_TRIED = True
+    if _NATIVE is not None:
+        return int(_NATIVE.ffv1n_crc32(bytes(data), len(data),
+                                       crc & 0xFFFFFFFF))
+    return _crc32_py(data, crc)

@@ -1,16 +1,19 @@
-"""TPU-path FFV1 encoder: parallel stencil + per-slice device scans.
+"""TPU-path FFV1 encoder: parallel stencil + lane-major device scans.
 
 Pipeline per frame (range-coder versions):
-  host:   keyframe bit + (v3) slice headers  ->  provisional prefix
+  host:   keyframe bit + (v3) slice headers  ->  provisional prefixes
   device: residual/context stencil (parallel, residual.py)
-          adaptive range-coder scan per slice (rc_scan.py), slices
-          batched with vmap when same-shaped
-          sentinel/terminate/compaction/carry-resolve (finalize_slice)
-  host:   footer chain + per-slice CRC + packet concat (bitstream glue)
+          lane-major adaptive range-coder scan — all slices of the frame
+          (and optionally a batch of independent streams) advance together
+          as vector lanes (rc_scan_lanes.py)
+          sentinel/terminate/compaction/carry-resolve (finalize_lanes)
+  host:   footer chain + per-slice CRC + packet concat
 
 Adaptive states live on device across frames (GOP context carry-over,
-ffv1enc.c:1171-1172) — non-key frames reuse states_out from the previous
-frame, keyframes reset to the initial states.
+ffv1enc.c:1171-1172): non-key frames continue from states_out, keyframes
+reset.  Bit depths > 10 fall back to the naive per-slice scan
+(rc_scan.py) — exponents there can exceed 9, breaking the fast path's
+distinct-state-index property.
 
 Byte output is validated against the spec encoder (tests/test_tpu.py) and
 hence against the reference binary.
@@ -21,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..bitstream.headers import write_slice_header
+from ..bitstream.headers import write_extradata, write_slice_header
 from ..core import tables as T
 from ..core.crc import crc32_ieee
 from ..core.rac import (ProvisionalRangeEncoder, custom_state_tables,
@@ -29,8 +32,9 @@ from ..core.rac import (ProvisionalRangeEncoder, custom_state_tables,
 from ..core.intmath import ceil_rshift
 from ..codec.context import slice_grid
 from ..codec.params import EncoderParams, resolve
-from .residual import load_plane, residuals_and_contexts, wrap_int16
+from .residual import load_plane, residuals_and_contexts
 from .rc_scan import finalize_slice, rc_encode_scan
+from .rc_scan_lanes import finalize_lanes, rc_encode_scan_lanes
 
 PREFIX_CAP = 96
 
@@ -50,7 +54,6 @@ class TPUFFV1Encoder:
         if rp.colorspace != 0 or rp.fmt.interleaved:
             raise NotImplementedError(
                 "TPU path currently supports planar YUV/gray formats")
-        from ..bitstream.headers import write_extradata
         self.extradata = write_extradata(rp)
         self.geoms = slice_grid(rp.width, rp.height,
                                 rp.num_h_slices, rp.num_v_slices)
@@ -61,11 +64,7 @@ class TPUFFV1Encoder:
         self.one_tab = jnp.asarray(one)
         self.zero_tab = jnp.asarray(zero)
 
-        # coded-plane layout: plane index -> (state base, context_count)
         cc = rp.context_counts[rp.context_model]
-        self.n_coded_planes = (1 + (2 if rp.chroma_planes else 0) +
-                               (1 if rp.transparency else 0))
-        # luma=plane0, both chromas share plane1, alpha=plane2
         n_state_planes = 1 + (1 if rp.chroma_planes else 0) + \
             (1 if rp.transparency else 0)
         self.total_cc = n_state_planes * cc
@@ -75,16 +74,38 @@ class TPUFFV1Encoder:
         self.five_input = bool(rp.quant_tables[rp.context_model][3][127])
         self.bits = 8 if rp.bits_per_raw_sample <= 8 else \
             rp.bits_per_raw_sample
+        self.fast = self.bits <= 10
+        self.L = len(self.geoms)
 
-        # per-slice device state tables, persisted across frames
-        self.states = [jnp.full((self.total_cc, 32), 128, dtype=jnp.uint8)
-                       for _ in self.geoms]
+        # lane-major device state tables, persisted across frames
+        self.states = jnp.full((self.L, self.total_cc, 32), 128,
+                               dtype=jnp.uint8)
         self.picture_number = 0
+        # stream length per slice (static per geometry)
+        self.stream_lens = [self._stream_len(g) for g in self.geoms]
+        self.n_max = max(self.stream_lens)
+        # transfer-size cap for the output byte planes (host re-checks
+        # counts; codeable worst case is ~2.2 bytes/pixel at 8 bit)
+        self.out_cap = self.n_max * 3 + 4096
+        # whole-frame fused pipeline (one dispatch per frame — critical
+        # under remote/eager backends where each op is a round trip)
+        self._frame_fn = jax.jit(self._frame_pipeline) if self.fast else None
 
     # -----------------------------------------------------------------
 
+    def _stream_len(self, geom):
+        rp = self.rp
+        n = geom.width * geom.height
+        if rp.chroma_planes:
+            cw = ceil_rshift(geom.width, rp.chroma_h_shift)
+            ch = ceil_rshift(geom.height, rp.chroma_v_shift)
+            n += 2 * cw * ch
+        if rp.transparency:
+            n += geom.width * geom.height
+        return n
+
     def _slice_stream(self, planes, geom):
-        """Build the concatenated (ctx, diff) stream for one slice."""
+        """Concatenated (ctx, diff) stream for one slice, coding order."""
         rp = self.rp
         x, y, w, h = geom.x, geom.y, geom.width, geom.height
         hs, vs = rp.chroma_h_shift, rp.chroma_v_shift
@@ -106,13 +127,9 @@ class TPUFFV1Encoder:
             add(planes[2][cy:cy + ch, cx:cx + cw], 1)
         if rp.transparency:
             add(planes[-1][y:y + h, x:x + w], 2)
-        ctx = jnp.concatenate(parts_ctx)
-        diff = jnp.concatenate(parts_diff)
-        return ctx, diff
+        return jnp.concatenate(parts_ctx), jnp.concatenate(parts_diff)
 
     def _host_prefix(self, si: int, keyframe: bool):
-        """Keyframe bit (slice 0) + v3 slice header, as provisional coder
-        state to hand the device."""
         rp = self.rp
         enc = ProvisionalRangeEncoder(*default_state_tables())
         if si == 0:
@@ -121,7 +138,7 @@ class TPUFFV1Encoder:
         if rp.ac == T.AC_RANGE_CUSTOM_TAB:
             enc.set_tables(*custom_state_tables(rp.state_transition))
 
-        class _SS:  # minimal slice-state view for write_slice_header
+        class _SS:
             pass
 
         ss = _SS()
@@ -134,32 +151,29 @@ class TPUFFV1Encoder:
 
     # -----------------------------------------------------------------
 
-    def encode_frame(self, planes):
-        rp = self.rp
-        if not isinstance(planes, (list, tuple)):
-            planes = [planes]
-        planes = [jnp.asarray(np.asarray(p)) for p in planes]
-        keyframe = (rp.gop_size == 0 or
-                    self.picture_number % rp.gop_size == 0)
-
-        payloads = []
+    def _frame_pipeline(self, planes, states0, lows, ranges, prefixes,
+                        plens):
+        """Fused device pipeline: stencil -> lane scan -> finalize."""
+        ctxs = jnp.zeros((self.L, self.n_max), jnp.int32)
+        diffs = jnp.zeros((self.L, self.n_max), jnp.int32)
+        acts_np = np.zeros((self.L, self.n_max), bool)
         for si, geom in enumerate(self.geoms):
-            low0, range0, prov_prefix = self._host_prefix(si, keyframe)
-            ctx, diff = self._slice_stream(planes, geom)
-            active = jnp.ones(ctx.shape, dtype=bool)
-            states0 = jnp.full((self.total_cc, 32), 128, dtype=jnp.uint8) \
-                if keyframe else self.states[si]
-            prov, valid, low, rng, states_out = rc_encode_scan(
-                ctx, diff, active, states0, self.one_tab, self.zero_tab,
-                jnp.int32(low0), jnp.int32(range0), self.bits)
-            self.states[si] = states_out
-            prefix = np.zeros(PREFIX_CAP, dtype=np.int32)
-            prefix[:len(prov_prefix)] = prov_prefix
-            out, count = finalize_slice(prov, valid, low, rng,
-                                        jnp.asarray(prefix),
-                                        jnp.int32(len(prov_prefix)))
-            payloads.append(bytes(np.asarray(out)[:int(count)]))
+            c, d = self._slice_stream(planes, geom)
+            n = self.stream_lens[si]
+            ctxs = ctxs.at[si, :n].set(c)
+            diffs = diffs.at[si, :n].set(d)
+            acts_np[si, :n] = True
+        acts = jnp.asarray(acts_np)
 
+        prov, valid, low, rng, states_out = rc_encode_scan_lanes(
+            ctxs, diffs, acts, states0, self.one_tab, self.zero_tab,
+            lows, ranges, self.bits)
+        out, counts = finalize_lanes(prov, valid, low, rng,
+                                     prefixes, plens)
+        return out[:, :self.out_cap], counts, states_out
+
+    def _assemble(self, payloads):
+        rp = self.rp
         out = bytearray()
         for payload in payloads:
             chunk = bytearray(payload)
@@ -168,5 +182,67 @@ class TPUFFV1Encoder:
                 chunk.append(0)
                 chunk += int(crc32_ieee(bytes(chunk))).to_bytes(4, "little")
             out += chunk
+        return bytes(out)
+
+    def encode_frame(self, planes):
+        rp = self.rp
+        if not isinstance(planes, (list, tuple)):
+            planes = [planes]
+        planes = [jnp.asarray(np.asarray(p)) for p in planes]
+        keyframe = (rp.gop_size == 0 or
+                    self.picture_number % rp.gop_size == 0)
+
+        # host prefixes
+        lows = np.zeros(self.L, np.int32)
+        ranges = np.zeros(self.L, np.int32)
+        prefixes = np.zeros((self.L, PREFIX_CAP), np.int32)
+        plens = np.zeros(self.L, np.int32)
+        for si in range(self.L):
+            lo, ra, prov = self._host_prefix(si, keyframe)
+            lows[si], ranges[si] = lo, ra
+            prefixes[si, :len(prov)] = prov
+            plens[si] = len(prov)
+
+        states0 = jnp.full_like(self.states, 128) if keyframe else \
+            self.states
+
+        if self.fast:
+            out, counts, states_out = self._frame_fn(
+                tuple(planes), states0, jnp.asarray(lows),
+                jnp.asarray(ranges), jnp.asarray(prefixes),
+                jnp.asarray(plens))
+            self.states = states_out
+            out_np = np.asarray(out)
+            counts_np = np.asarray(counts)
+            if counts_np.max() > self.out_cap:
+                raise RuntimeError("encoded slice exceeded output cap")
+            payloads = [bytes(out_np[si, :counts_np[si]])
+                        for si in range(self.L)]
+        else:
+            # naive per-slice path (bit depths > 10)
+            ctxs = jnp.zeros((self.L, self.n_max), jnp.int32)
+            diffs = jnp.zeros((self.L, self.n_max), jnp.int32)
+            acts = np.zeros((self.L, self.n_max), bool)
+            for si, geom in enumerate(self.geoms):
+                c, d = self._slice_stream(planes, geom)
+                n = self.stream_lens[si]
+                ctxs = ctxs.at[si, :n].set(c)
+                diffs = diffs.at[si, :n].set(d)
+                acts[si, :n] = True
+            payloads = []
+            new_states = []
+            for si in range(self.L):
+                n = self.stream_lens[si]
+                prov, valid, low, rng, s_out = rc_encode_scan(
+                    ctxs[si, :n], diffs[si, :n], jnp.asarray(acts[si, :n]),
+                    states0[si], self.one_tab, self.zero_tab,
+                    jnp.int32(lows[si]), jnp.int32(ranges[si]), self.bits)
+                new_states.append(s_out)
+                o, cnt = finalize_slice(prov, valid, low, rng,
+                                        jnp.asarray(prefixes[si]),
+                                        jnp.int32(plens[si]))
+                payloads.append(bytes(np.asarray(o)[:int(cnt)]))
+            self.states = jnp.stack(new_states)
+
         self.picture_number += 1
-        return bytes(out), keyframe
+        return self._assemble(payloads), keyframe

@@ -1,0 +1,165 @@
+"""Lane-major device range coding: many slices/streams per scan step.
+
+The production encode kernel.  One lax.scan over pixel index; every
+carried quantity is vectorized over L lanes (slice x stream batch).  This
+matters because the per-step critical path on TPU is dominated by
+vector->scalar moves and per-lane dynamic memory ops; lane-major layout
+turns the low/range chain into pure (L,)-vector arithmetic with static
+indexing (measured ~30x faster than the scalar-carry formulation).
+
+Structure per step (see rc_scan_fast.py for the derivation):
+  1. flat gather of each lane's 32-byte context row
+  2. closed-form per-position activity/bit masks (L, 32)
+  3. vectorized state adaptation + flat scatter back
+  4. static-order low/range/renorm chain (25 slots for 8-bit), emitting
+     provisional bytes (carry flag in bit 16, see core.rac.prov_value)
+
+Lanes may have different stream lengths: padding lanes carry
+active=False and are exact no-ops.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .rc_scan_fast import chain_order
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def rc_encode_scan_lanes(ctx, diff, active, states0, one_tab, zero_tab,
+                         low0, range0, bits: int):
+    """Encode L parallel streams.
+
+    Args:
+      ctx, diff: int32[L, N] per-lane context/residual streams
+      active: bool[L, N] validity (False lanes are no-ops)
+      states0: uint8[L, CC, 32] adaptive states (carried across frames)
+      low0, range0: int32[L] coder state after the host-coded prefix
+    Returns:
+      (prov int32[N, L, S], valid bool[N, L, S], low[L], range[L],
+       states_out uint8[L, CC, 32])
+    """
+    order = chain_order(bits)
+    L, CC = states0.shape[0], states0.shape[1]
+    one_i = one_tab.astype(jnp.int32)
+    zero_i = zero_tab.astype(jnp.int32)
+    pos32 = jnp.arange(32, dtype=jnp.int32)[None, :]
+    lane_base = jnp.arange(L, dtype=jnp.int32) * CC
+
+    S0 = states0.reshape(L * CC, 32).astype(jnp.int32)
+
+    def step(carry, xs):
+        states, low, rng = carry
+        c, v, act = xs                       # (L,)
+        fi = lane_base + c
+        row = states[fi]                     # (L, 32) gather
+        a = jnp.abs(v)
+        e = 31 - jax.lax.clz(jnp.maximum(a, 1).astype(jnp.uint32)) \
+            .astype(jnp.int32)
+        nz = v != 0
+
+        eL = e[:, None]
+        is_exp = (pos32 >= 1) & (pos32 <= 10)
+        is_man = pos32 >= 22
+        nzL = nz[:, None]
+        act32 = ((pos32 == 0) |
+                 (is_exp & nzL & (pos32 - 1 <= eL)) |
+                 ((pos32 >= 11) & (pos32 <= 21) & nzL &
+                  (pos32 == 11 + eL)) |
+                 (is_man & nzL & (pos32 - 22 < eL))) & act[:, None]
+        bit32 = jnp.where(
+            pos32 == 0, (~nzL).astype(jnp.int32),
+            jnp.where(is_exp, (pos32 - 1 < eL).astype(jnp.int32),
+                      jnp.where(is_man,
+                                (a[:, None] >> jnp.clip(pos32 - 22, 0, 30))
+                                & 1,
+                                (v[:, None] < 0).astype(jnp.int32))))
+
+        new_row = jnp.where(act32,
+                            jnp.where(bit32 == 1, one_i[row], zero_i[row]),
+                            row)
+        states = states.at[fi].set(new_row)
+
+        out_b = []
+        out_v = []
+        for p in order:
+            aj = act32[:, p]
+            s = row[:, p]
+            b = bit32[:, p]
+            r1 = (rng * s) >> 8
+            nr = jnp.where(b == 1, r1, rng - r1)
+            nl = low + jnp.where(b == 1, rng - r1, 0)
+            emit = aj & (nr < 0x100)
+            out_b.append((nl >> 8) |
+                         jnp.where((nl & 0xFF) != 0, 1 << 16, 0))
+            out_v.append(emit)
+            nl = jnp.where(emit, (nl & 0xFF) << 8, nl)
+            nr = jnp.where(emit, nr << 8, nr)
+            low = jnp.where(aj, nl, low)
+            rng = jnp.where(aj, nr, rng)
+        return (states, low, rng), (jnp.stack(out_b, 1),
+                                    jnp.stack(out_v, 1))
+
+    (states, low, rng), (prov, valid) = jax.lax.scan(
+        step, (S0, low0, range0), (ctx.T, diff.T, active.T))
+    states_out = states.astype(jnp.uint8).reshape(L, CC, 32)
+    return prov, valid, low, rng, states_out
+
+
+@jax.jit
+def finalize_lanes(prov, valid, low, rng, prefix, prefix_len):
+    """Vectorized sentinel/terminate/compact/carry-resolve over lanes.
+
+    prov: int32[N, L, S]; valid: bool[N, L, S]; prefix: int32[L, PCAP];
+    prefix_len: int32[L].  Returns (bytes uint8[L, CAP], count int32[L]).
+    """
+    N, L, S = prov.shape
+    pcap = prefix.shape[1]
+
+    def _pv(lw):
+        return (lw >> 8) | jnp.where((lw & 0xFF) != 0, 1 << 16, 0)
+
+    r1 = (rng * 129) >> 8
+    rng2 = rng - r1
+    s_emit = rng2 < 0x100
+    pv0 = _pv(low)
+    low2 = jnp.where(s_emit, (low & 0xFF) << 8, low)
+    t1 = _pv(low2 + 0xFF)
+    t2 = (low2 + 0xFF) & 0xFF
+
+    flat_b = jnp.moveaxis(prov, 1, 0).reshape(L, N * S)
+    flat_v = jnp.moveaxis(valid, 1, 0).reshape(L, N * S)
+    cap = N * S + pcap + 3
+    stream = jnp.zeros((L, cap), dtype=jnp.int32)
+    pmask = jnp.arange(pcap)[None, :] < prefix_len[:, None]
+    stream = stream.at[:, :pcap].set(jnp.where(pmask, prefix, 0))
+    pos = prefix_len[:, None] + jnp.cumsum(flat_v, axis=1) - 1
+    lanei = jnp.arange(L)[:, None].repeat(N * S, 1)
+    stream = stream.at[lanei, jnp.where(flat_v, pos, cap - 1)].set(
+        jnp.where(flat_v, flat_b, 0), mode="drop")
+    count = prefix_len + jnp.sum(flat_v, axis=1)
+    li = jnp.arange(L)
+    stream = stream.at[li, count].set(jnp.where(s_emit, pv0, t1))
+    stream = stream.at[li, count + 1].set(jnp.where(s_emit, t1, t2))
+    stream = stream.at[li, count + 2].set(jnp.where(s_emit, t2, 0))
+    total = count + 2 + s_emit.astype(jnp.int32)
+
+    in_range = jnp.arange(cap)[None, :] < total[:, None]
+    vals = jnp.where(in_range, stream, 0)
+    g = ((vals >> 8) & 1).astype(jnp.int32)
+    p = (((vals & 0x1FF) == 0xFF) & ((vals >> 16) == 1)).astype(jnp.int32) \
+        * in_range.astype(jnp.int32)
+
+    def compose(a, b):
+        ga, pa = a
+        gb, pb = b
+        return gb | (pb & ga), pa & pb
+
+    go, _ = jax.lax.associative_scan(compose, (g, p), reverse=True, axis=1)
+    carry_in = jnp.concatenate(
+        [go[:, 1:], jnp.zeros((L, 1), jnp.int32)], axis=1)
+    resolved = ((vals & 0x1FF) + carry_in) & 0xFF
+    out = jnp.where(in_range, resolved, 0).astype(jnp.uint8)
+    return out, total - 1
