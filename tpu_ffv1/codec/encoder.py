@@ -41,6 +41,23 @@ class FFV1Encoder:
             engine = "native" if (_native.available() and not rp.pass1) \
                 else "spec"
         self.engine = engine
+
+        # two-pass (SURVEY §3.5): pass 1 statistics / pass 2 tuning
+        self.stats = None
+        if rp.pass1:
+            from .twopass import Pass1Stats
+            self.stats = Pass1Stats(rp.quant_table_count,
+                                    rp.context_counts)
+        if params.stats_in:
+            from .twopass import (build_initial_states, find_best_state,
+                                  parse_stats, sort_stt)
+            rc_stat, rc_stat2, gob = parse_stats(
+                params.stats_in, rp.quant_table_count, rp.context_counts)
+            if rp.ac == T.AC_RANGE_CUSTOM_TAB:
+                sort_stt(rc_stat, rp.state_transition)
+            best = find_best_state(rp.state_transition)
+            rp.initial_states = build_initial_states(
+                rc_stat2, gob, best, rp.context_counts)
         self.extradata = write_extradata(rp) if rp.version > 1 else None
         self.geoms = slice_grid(rp.width, rp.height,
                                 rp.num_h_slices, rp.num_v_slices)
@@ -177,13 +194,18 @@ class FFV1Encoder:
         if rp.ac == T.AC_RANGE_CUSTOM_TAB:
             rc0.set_tables(*self._slice_tables)
 
+        if keyframe and self.stats is not None:
+            self.stats.gob_count += 1
+
         payloads = []
+        hook = self.stats.hook if self.stats is not None else None
         for si in range(len(self.slices)):
             if si == 0:
                 rc = rc0
             else:
                 rc = RangeEncoder(*self._slice_tables)
-            payloads.append(self._encode_slice(si, planes, keyframe, rc))
+            payloads.append(
+                self._encode_slice(si, planes, keyframe, rc, hook))
 
         out = bytearray()
         for si, payload in enumerate(payloads):
@@ -199,3 +221,10 @@ class FFV1Encoder:
 
         self.picture_number += 1
         return bytes(out), keyframe
+
+    def get_stats(self) -> str:
+        """Serialize PASS1 statistics (the flush-time stats_out of
+        ffv1enc.c:1235-1279); feed into a pass-2 EncoderParams.stats_in."""
+        if self.stats is None:
+            raise RuntimeError("encoder was not created with pass1=True")
+        return self.stats.serialize()

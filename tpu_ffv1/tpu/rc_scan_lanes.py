@@ -114,6 +114,12 @@ def finalize_lanes(prov, valid, low, rng, prefix, prefix_len):
 
     prov: int32[N, L, S]; valid: bool[N, L, S]; prefix: int32[L, PCAP];
     prefix_len: int32[L].  Returns (bytes uint8[L, CAP], count int32[L]).
+
+    Compaction is sort-based (stable key sort compiles/runs well on TPU;
+    scatter with giant 2D index arrays stalls the compiler) and the carry
+    suffix recurrence c_k = g_k | (p_k & c_{k+1}) is evaluated with a
+    native cummax over propagate-run segments instead of a custom
+    associative_scan (see core.rac.carry_resolve for semantics).
     """
     N, L, S = prov.shape
     pcap = prefix.shape[1]
@@ -131,14 +137,21 @@ def finalize_lanes(prov, valid, low, rng, prefix, prefix_len):
 
     flat_b = jnp.moveaxis(prov, 1, 0).reshape(L, N * S)
     flat_v = jnp.moveaxis(valid, 1, 0).reshape(L, N * S)
-    cap = N * S + pcap + 3
-    stream = jnp.zeros((L, cap), dtype=jnp.int32)
-    pmask = jnp.arange(pcap)[None, :] < prefix_len[:, None]
-    stream = stream.at[:, :pcap].set(jnp.where(pmask, prefix, 0))
-    pos = prefix_len[:, None] + jnp.cumsum(flat_v, axis=1) - 1
-    lanei = jnp.arange(L)[:, None].repeat(N * S, 1)
-    stream = stream.at[lanei, jnp.where(flat_v, pos, cap - 1)].set(
-        jnp.where(flat_v, flat_b, 0), mode="drop")
+    M = N * S
+    big = M + pcap + 8
+
+    # keys: prefix values sort to [0, plen); data to [plen, plen+count)
+    pkey = jnp.where(jnp.arange(pcap)[None, :] < prefix_len[:, None],
+                     jnp.arange(pcap)[None, :].astype(jnp.int32), big)
+    dkey = jnp.where(flat_v,
+                     prefix_len[:, None] + jnp.cumsum(flat_v, axis=1) - 1,
+                     big)
+    keys = jnp.concatenate([pkey, dkey], axis=1)
+    vals_in = jnp.concatenate([prefix, flat_b], axis=1)
+    _, stream = jax.lax.sort((keys, vals_in), dimension=1, num_keys=1)
+
+    cap = M + pcap + 3
+    stream = jnp.pad(stream, ((0, 0), (0, 3)))  # room for sentinel+term
     count = prefix_len + jnp.sum(flat_v, axis=1)
     li = jnp.arange(L)
     stream = stream.at[li, count].set(jnp.where(s_emit, pv0, t1))
@@ -149,17 +162,20 @@ def finalize_lanes(prov, valid, low, rng, prefix, prefix_len):
     in_range = jnp.arange(cap)[None, :] < total[:, None]
     vals = jnp.where(in_range, stream, 0)
     g = ((vals >> 8) & 1).astype(jnp.int32)
-    p = (((vals & 0x1FF) == 0xFF) & ((vals >> 16) == 1)).astype(jnp.int32) \
-        * in_range.astype(jnp.int32)
+    p = (((vals & 0x1FF) == 0xFF) & ((vals >> 16) == 1) & in_range) \
+        .astype(jnp.int32)
 
-    def compose(a, b):
-        ga, pa = a
-        gb, pb = b
-        return gb | (pb & ga), pa & pb
-
-    go, _ = jax.lax.associative_scan(compose, (g, p), reverse=True, axis=1)
+    # suffix recurrence via cummax on the reversed stream: within a run of
+    # propagators, carry_out = any generator in the run's suffix prefix
+    gr = g[:, ::-1]
+    pr = p[:, ::-1]
+    brk = jnp.cumsum(1 - pr, axis=1)  # run id, breaks at non-propagators
+    # allow g at the break element itself to start a carry into the run
+    m = jax.lax.cummax(gr + 2 * brk, axis=1)
+    carry_out_rev = (m - 2 * brk) >= 1
+    carry_out = carry_out_rev[:, ::-1].astype(jnp.int32)
     carry_in = jnp.concatenate(
-        [go[:, 1:], jnp.zeros((L, 1), jnp.int32)], axis=1)
+        [carry_out[:, 1:], jnp.zeros((L, 1), jnp.int32)], axis=1)
     resolved = ((vals & 0x1FF) + carry_in) & 0xFF
     out = jnp.where(in_range, resolved, 0).astype(jnp.uint8)
     return out, total - 1
