@@ -1,0 +1,101 @@
+"""Experimental block-motion P-frame extension (the fork's direction).
+
+The reference tree carries the motion machinery FFV1's P-frame work
+builds on — SAD block compare (me_cmp.c:996, me_cmp.h:56 sad[6]),
+candidate-vector search (motion_est.c:904 ff_estimate_p_frame_motion,
+:977 ff_epzs_motion_search) and OBMC prediction (snow.c:327
+ff_snow_pred_block) — but does not wire it into the FFV1 bitstream
+(SURVEY §0.3, §2.4).  This module is the TPU-native equivalent,
+implemented as a *framework extension* gated behind experimental=True,
+exactly as the reference gates its unfinished versions
+(ffv1enc.c:703-706).
+
+Device mapping (BASELINE.json north star): the SAD field over all
+candidate vectors is evaluated as a dense batched reduction — candidate
+shifts of the reference plane are materialized as a (C, H, W) stack, the
+absolute difference against the current plane is block-pooled with a
+reshape-sum, and argmin over C picks each block's vector.  All of it is
+one fused XLA program; the residual then rides the standard FFV1 slice
+pipeline at bits+1 width (same trick as the RGB planes,
+ffv1enc.c:464-467).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import jax
+    import jax.numpy as jnp
+    _HAVE_JAX = True
+except Exception:  # pragma: no cover
+    _HAVE_JAX = False
+
+
+def candidate_grid(radius: int):
+    """All (dy, dx) candidate vectors within a square search window."""
+    return [(dy, dx)
+            for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)]
+
+
+def _shift2d(ref, dy, dx):
+    """Shift with edge replication (motion across borders clamps)."""
+    H, W = ref.shape
+    ys = jnp.clip(jnp.arange(H) + dy, 0, H - 1)
+    xs = jnp.clip(jnp.arange(W) + dx, 0, W - 1)
+    return ref[ys][:, xs]
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("block", "radius")) \
+    if _HAVE_JAX else (lambda f: f)
+def block_motion_search(cur, ref, block: int = 16, radius: int = 7):
+    """Full-search SAD block matching, one fused device program.
+
+    Returns (mvs int32[bh, bw, 2], sad int32[bh, bw]) for the best
+    candidate of each block.  cur/ref: (H, W) int arrays; H, W must be
+    multiples of ``block`` (pad beforehand).
+    """
+    H, W = cur.shape
+    bh, bw = H // block, W // block
+    cands = candidate_grid(radius)
+    cur = jnp.asarray(cur, jnp.int32)
+    ref = jnp.asarray(ref, jnp.int32)
+
+    def sad_for(dy, dx):
+        diff = jnp.abs(cur - _shift2d(ref, dy, dx))
+        return diff.reshape(bh, block, bw, block).sum(axis=(1, 3))
+
+    sads = jnp.stack([sad_for(dy, dx) for dy, dx in cands])  # (C, bh, bw)
+    best = jnp.argmin(sads, axis=0)                          # (bh, bw)
+    cand_arr = jnp.asarray(np.array(cands, np.int32))
+    mvs = cand_arr[best]                                     # (bh, bw, 2)
+    return mvs, jnp.min(sads, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("block",)) \
+    if _HAVE_JAX else (lambda f: f)
+def motion_compensate(ref, mvs, block: int = 16):
+    """Build the motion-compensated prediction from per-block vectors."""
+    ref = jnp.asarray(ref, jnp.int32)
+    H, W = ref.shape
+    yy = jnp.arange(H)
+    xx = jnp.arange(W)
+    dy = jnp.repeat(mvs[:, :, 0], block, axis=0)
+    dy = jnp.repeat(dy, block, axis=1)
+    dx = jnp.repeat(mvs[:, :, 1], block, axis=0)
+    dx = jnp.repeat(dx, block, axis=1)
+    ys = jnp.clip(yy[:, None] + dy, 0, H - 1)
+    xs = jnp.clip(xx[None, :] + dx, 0, W - 1)
+    return ref[ys, xs]
+
+
+def pad_to_block(plane, block: int = 16):
+    H, W = plane.shape
+    ph = (-H) % block
+    pw = (-W) % block
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
