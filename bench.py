@@ -44,13 +44,16 @@ def synth_1080p(n_frames=4, seed=0):
 
 def bench_tpu(frames, budget_s=900.0):
     import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(
-                              os.path.abspath(__file__)), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception as e:
-        log(f"compilation cache unavailable: {e}")
+    if os.environ.get("FFV1_JAX_CACHE"):
+        # NOTE: hangs under the axon remote plugin; opt-in only
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.join(os.path.dirname(
+                                  os.path.abspath(__file__)), ".jax_cache"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 5)
+        except Exception as e:
+            log(f"compilation cache unavailable: {e}")
     from tpu_ffv1.codec.params import EncoderParams
     from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
 

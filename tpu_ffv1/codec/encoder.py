@@ -10,6 +10,8 @@ Usage:
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..bitstream.headers import (write_extradata, write_frame_header_v01,
@@ -68,6 +70,11 @@ class FFV1Encoder:
             self._slice_tables = custom_state_tables(rp.state_transition)
         else:
             self._slice_tables = default_state_tables()
+        self._pool = None
+        if self.engine == "native" and rp.slice_count > 1:
+            import concurrent.futures
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(rp.slice_count, os.cpu_count() or 1))
 
     # -- helpers ----------------------------------------------------------
 
@@ -197,15 +204,20 @@ class FFV1Encoder:
         if keyframe and self.stats is not None:
             self.stats.gob_count += 1
 
-        payloads = []
         hook = self.stats.hook if self.stats is not None else None
-        for si in range(len(self.slices)):
-            if si == 0:
-                rc = rc0
-            else:
-                rc = RangeEncoder(*self._slice_tables)
-            payloads.append(
-                self._encode_slice(si, planes, keyframe, rc, hook))
+        rcs = [rc0 if si == 0 else RangeEncoder(*self._slice_tables)
+               for si in range(len(self.slices))]
+        if self._pool is not None and hook is None:
+            # slice-thread pool (pthread_slice.c analog): slices are
+            # independent; the native engine releases the GIL in C
+            payloads = list(self._pool.map(
+                lambda si: self._encode_slice(si, planes, keyframe,
+                                              rcs[si], None),
+                range(len(self.slices))))
+        else:
+            payloads = [self._encode_slice(si, planes, keyframe, rcs[si],
+                                           hook)
+                        for si in range(len(self.slices))]
 
         out = bytearray()
         for si, payload in enumerate(payloads):
