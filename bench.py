@@ -57,24 +57,29 @@ def bench_tpu(frames, budget_s=900.0):
     from tpu_ffv1.codec.params import EncoderParams
     from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
 
+    batch = int(os.environ.get("FFV1_BENCH_BATCH", "6"))
     enc = TPUFFV1Encoder(EncoderParams(
         width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
-        slices=24))
-    log(f"devices: {jax.devices()}")
+        slices=24), batch=batch)
+    log(f"devices: {jax.devices()}; stream batch: {batch} "
+        f"({enc.L} lanes)")
+    # independent streams: offset frame sequences of the same clip
+    streams0 = [frames[i % len(frames)] for i in range(batch)]
     t0 = time.time()
-    pkt, _ = enc.encode_frame(frames[0])
-    log(f"first frame (compile): {time.time() - t0:.1f}s, "
-        f"{len(pkt)} bytes")
+    res = enc.encode_frames(streams0)
+    log(f"first step (compile): {time.time() - t0:.1f}s, "
+        f"{len(res[0][0])} bytes")
     t0 = time.time()
     n = 0
-    for f in frames[1:]:
-        enc.encode_frame(f)
+    for k in range(1, len(frames)):
+        enc.encode_frames([frames[(i + k) % len(frames)]
+                           for i in range(batch)])
         n += 1
         if time.time() - t0 > budget_s:
             break
     dt = (time.time() - t0) / max(n, 1)
-    mpix = 1920 * 1080 / dt / 1e6
-    log(f"tpu steady: {dt * 1000:.0f} ms/frame")
+    mpix = batch * 1920 * 1080 / dt / 1e6
+    log(f"tpu steady: {dt * 1000:.0f} ms/step ({batch} frames/step)")
     return mpix
 
 

@@ -76,3 +76,20 @@ def test_tpu_end_to_end_with_spec_decoder():
         planes, _ = dec.decode_frame(pkt)
         for a, b in zip(planes, f):
             assert np.array_equal(a, b)
+
+
+def test_tpu_batch_streams_byte_exact():
+    """batch>1: independent streams in lockstep must each match the
+    per-stream spec encoder bytes."""
+    B = 2
+    streams = [_frames(8, seed=20 + b) for b in range(B)]
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv420p", level=3,
+                           coder=2, slices=4, gop_size=2)
+    tpu = TPUFFV1Encoder(params, batch=B)
+    specs = [FFV1Encoder(params) for _ in range(B)]
+    for t in range(3):
+        results = tpu.encode_frames([streams[b][t] for b in range(B)])
+        for b in range(B):
+            sp, sk = specs[b].encode_frame(streams[b][t])
+            tp, tk = results[b]
+            assert sk == tk and sp == tp, f"stream {b} frame {t}"

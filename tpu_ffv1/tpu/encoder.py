@@ -34,15 +34,25 @@ from ..codec.context import slice_grid
 from ..codec.params import EncoderParams, resolve
 from .residual import load_plane, residuals_and_contexts
 from .rc_scan import finalize_slice, rc_encode_scan
-from .rc_scan_lanes import finalize_lanes, rc_encode_scan_lanes
+from .rc_scan_lanes import (finalize_lanes, rc_encode_scan_lanes,
+                            rc_encode_scan_lanes_unrolled)
 
 PREFIX_CAP = 96
 
 
 class TPUFFV1Encoder:
-    """Device-resident FFV1 encoder (version 3, range coder)."""
+    """Device-resident FFV1 encoder (version 3, range coder).
 
-    def __init__(self, params: EncoderParams):
+    ``batch`` > 1 encodes that many *independent streams* in lockstep:
+    their slice lanes all advance through one lane-major scan (lanes =
+    batch x slices).  Slices are independent bitstreams and so are
+    streams, so this is pure data parallelism — and the main throughput
+    lever on TPU, since the per-step cost of the scan grows sub-linearly
+    with lane count (archival/transcode workloads batch GOP chunks).
+    Use encode_frames([stream0_frame, stream1_frame, ...]).
+    """
+
+    def __init__(self, params: EncoderParams, batch: int = 1):
         self.rp = resolve(params)
         rp = self.rp
         if rp.ac == T.AC_GOLOMB_RICE:
@@ -54,6 +64,7 @@ class TPUFFV1Encoder:
         if rp.colorspace != 0 or rp.fmt.interleaved:
             raise NotImplementedError(
                 "TPU path currently supports planar YUV/gray formats")
+        self.batch = batch
         self.extradata = write_extradata(rp)
         self.geoms = slice_grid(rp.width, rp.height,
                                 rp.num_h_slices, rp.num_v_slices)
@@ -75,15 +86,18 @@ class TPUFFV1Encoder:
         self.bits = 8 if rp.bits_per_raw_sample <= 8 else \
             rp.bits_per_raw_sample
         self.fast = self.bits <= 10
-        self.L = len(self.geoms)
+        self.n_slices = len(self.geoms)
+        self.L = self.n_slices * batch
 
         # lane-major device state tables, persisted across frames
         self.states = jnp.full((self.L, self.total_cc, 32), 128,
                                dtype=jnp.uint8)
         self.picture_number = 0
-        # stream length per slice (static per geometry)
+        # stream length per slice (static per geometry); padded to the
+        # scan unroll factor (padding lanes are exact no-ops)
+        self.unroll = 8
         self.stream_lens = [self._stream_len(g) for g in self.geoms]
-        self.n_max = max(self.stream_lens)
+        self.n_max = -(-max(self.stream_lens) // self.unroll) * self.unroll
         # transfer-size cap for the output byte planes (host re-checks
         # counts; codeable worst case is ~2.2 bytes/pixel at 8 bit)
         self.out_cap = self.n_max * 3 + 4096
@@ -151,18 +165,24 @@ class TPUFFV1Encoder:
 
     # -----------------------------------------------------------------
 
-    def _frame_pipeline(self, planes, states0, lows, ranges, prefixes,
+    def _frame_pipeline(self, streams, states0, lows, ranges, prefixes,
                         plens):
-        """Fused device pipeline: stencil -> lane scan -> finalize."""
+        """Fused device pipeline: stencil -> lane scan -> finalize.
+
+        ``streams``: tuple of per-stream plane tuples (len == batch).
+        Lane index = stream * n_slices + slice.
+        """
         ctxs = jnp.zeros((self.L, self.n_max), jnp.int32)
         diffs = jnp.zeros((self.L, self.n_max), jnp.int32)
         acts_np = np.zeros((self.L, self.n_max), bool)
-        for si, geom in enumerate(self.geoms):
-            c, d = self._slice_stream(planes, geom)
-            n = self.stream_lens[si]
-            ctxs = ctxs.at[si, :n].set(c)
-            diffs = diffs.at[si, :n].set(d)
-            acts_np[si, :n] = True
+        for bi, planes in enumerate(streams):
+            for si, geom in enumerate(self.geoms):
+                lane = bi * self.n_slices + si
+                c, d = self._slice_stream(planes, geom)
+                n = self.stream_lens[si]
+                ctxs = ctxs.at[lane, :n].set(c)
+                diffs = diffs.at[lane, :n].set(d)
+                acts_np[lane, :n] = True
         acts = jnp.asarray(acts_np)
 
         prov, valid, low, rng, states_out = rc_encode_scan_lanes(
@@ -185,30 +205,41 @@ class TPUFFV1Encoder:
         return bytes(out)
 
     def encode_frame(self, planes):
+        """Encode one frame of a single stream (batch must be 1)."""
+        assert self.batch == 1
+        return self.encode_frames([planes])[0]
+
+    def encode_frames(self, streams):
+        """Encode one frame from each of ``batch`` independent streams;
+        returns a list of (packet, keyframe) per stream."""
         rp = self.rp
-        if not isinstance(planes, (list, tuple)):
-            planes = [planes]
-        planes = [jnp.asarray(np.asarray(p)) for p in planes]
+        assert len(streams) == self.batch
+        streams = tuple(
+            tuple(jnp.asarray(np.asarray(p))
+                  for p in (s if isinstance(s, (list, tuple)) else [s]))
+            for s in streams)
         keyframe = (rp.gop_size == 0 or
                     self.picture_number % rp.gop_size == 0)
 
-        # host prefixes
+        # host prefixes (identical across streams: geometry + key bit)
         lows = np.zeros(self.L, np.int32)
         ranges = np.zeros(self.L, np.int32)
         prefixes = np.zeros((self.L, PREFIX_CAP), np.int32)
         plens = np.zeros(self.L, np.int32)
-        for si in range(self.L):
+        for si in range(self.n_slices):
             lo, ra, prov = self._host_prefix(si, keyframe)
-            lows[si], ranges[si] = lo, ra
-            prefixes[si, :len(prov)] = prov
-            plens[si] = len(prov)
+            for bi in range(self.batch):
+                lane = bi * self.n_slices + si
+                lows[lane], ranges[lane] = lo, ra
+                prefixes[lane, :len(prov)] = prov
+                plens[lane] = len(prov)
 
         states0 = jnp.full_like(self.states, 128) if keyframe else \
             self.states
 
         if self.fast:
             out, counts, states_out = self._frame_fn(
-                tuple(planes), states0, jnp.asarray(lows),
+                streams, states0, jnp.asarray(lows),
                 jnp.asarray(ranges), jnp.asarray(prefixes),
                 jnp.asarray(plens))
             self.states = states_out
@@ -216,9 +247,11 @@ class TPUFFV1Encoder:
             counts_np = np.asarray(counts)
             if counts_np.max() > self.out_cap:
                 raise RuntimeError("encoded slice exceeded output cap")
-            payloads = [bytes(out_np[si, :counts_np[si]])
-                        for si in range(self.L)]
+            payloads = [bytes(out_np[li, :counts_np[li]])
+                        for li in range(self.L)]
         else:
+            planes = list(streams[0])
+            assert self.batch == 1
             # naive per-slice path (bit depths > 10)
             ctxs = jnp.zeros((self.L, self.n_max), jnp.int32)
             diffs = jnp.zeros((self.L, self.n_max), jnp.int32)
@@ -245,4 +278,8 @@ class TPUFFV1Encoder:
             self.states = jnp.stack(new_states)
 
         self.picture_number += 1
-        return self._assemble(payloads), keyframe
+        results = []
+        for bi in range(self.batch):
+            sl = payloads[bi * self.n_slices:(bi + 1) * self.n_slices]
+            results.append((self._assemble(sl), keyframe))
+        return results

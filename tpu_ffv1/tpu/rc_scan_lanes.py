@@ -108,6 +108,127 @@ def rc_encode_scan_lanes(ctx, diff, active, states0, one_tab, zero_tab,
     return prov, valid, low, rng, states_out
 
 
+@functools.partial(jax.jit, static_argnames=("bits", "unroll"))
+def rc_encode_scan_lanes_unrolled(ctx, diff, active, states0, one_tab,
+                                  zero_tab, low0, range0, bits: int,
+                                  unroll: int = 8):
+    """Unrolled lane-major scan: U pixels per step, one batched state
+    gather and one last-wins scatter per step.
+
+    Intra-step same-context dependencies are resolved with a
+    where-cascade (pixel k's row inherits the latest update among earlier
+    pixels with the same ctx), and duplicate rows in the final scatter
+    are dropped except the last occurrence, preserving exact sequential
+    semantics.
+
+    MEASURED (v5e, L=24, N=129600): no win over the plain kernel —
+    XLA:TPU scatter cost scales with row count (~0.6us/row at small
+    batches), so batching U pixels doesn't amortize it.  Scatter cost IS
+    sub-linear in lane count, so the production throughput lever is
+    stream batching (TPUFFV1BatchEncoder), not unrolling.  Kept for
+    reference and for backends with per-op-dominated scatters.
+
+    Requires N % unroll == 0 (pad with active=False lanes).
+    Returns prov/valid shaped (N, L, S) in pixel order, same as
+    rc_encode_scan_lanes.
+    """
+    order = chain_order(bits)
+    L, CC = states0.shape[0], states0.shape[1]
+    U = unroll
+    N = ctx.shape[1]
+    assert N % U == 0
+    one_i = one_tab.astype(jnp.int32)
+    zero_i = zero_tab.astype(jnp.int32)
+    pos32 = jnp.arange(32, dtype=jnp.int32)[None, :]
+    lane_base = jnp.arange(L, dtype=jnp.int32) * CC
+
+    S0 = states0.reshape(L * CC, 32).astype(jnp.int32)
+    steps = N // U
+    ctxS = ctx.T.reshape(steps, U, L)
+    diffS = diff.T.reshape(steps, U, L)
+    actS = active.T.reshape(steps, U, L)
+
+    def pixel_masks(v, a_px):
+        a = jnp.abs(v)
+        e = 31 - jax.lax.clz(jnp.maximum(a, 1).astype(jnp.uint32)) \
+            .astype(jnp.int32)
+        nz = v != 0
+        eL = e[:, None]
+        nzL = nz[:, None]
+        is_exp = (pos32 >= 1) & (pos32 <= 10)
+        is_man = pos32 >= 22
+        act32 = ((pos32 == 0) |
+                 (is_exp & nzL & (pos32 - 1 <= eL)) |
+                 ((pos32 >= 11) & (pos32 <= 21) & nzL &
+                  (pos32 == 11 + eL)) |
+                 (is_man & nzL & (pos32 - 22 < eL))) & a_px[:, None]
+        bit32 = jnp.where(
+            pos32 == 0, (~nzL).astype(jnp.int32),
+            jnp.where(is_exp, (pos32 - 1 < eL).astype(jnp.int32),
+                      jnp.where(is_man,
+                                (a[:, None] >> jnp.clip(pos32 - 22, 0, 30))
+                                & 1,
+                                (v[:, None] < 0).astype(jnp.int32))))
+        return act32, bit32
+
+    def step(carry, xs):
+        states, low, rng = carry
+        cU, vU, aU = xs                       # (U, L)
+        fiU = lane_base[None, :] + cU         # (U, L)
+        rowsG = states[fiU.reshape(-1)].reshape(U, L, 32)  # one gather
+
+        new_rows = []
+        out_b = []
+        out_v = []
+        for k in range(U):
+            row = rowsG[k]
+            for j in range(k):  # latest same-ctx update wins
+                m = (cU[j] == cU[k])[:, None]
+                row = jnp.where(m, new_rows[j], row)
+            act32, bit32 = pixel_masks(vU[k], aU[k])
+            new_rows.append(jnp.where(
+                act32,
+                jnp.where(bit32 == 1, one_i[row], zero_i[row]),
+                row))
+            for p in order:
+                aj = act32[:, p]
+                s = row[:, p]
+                b = bit32[:, p]
+                r1 = (rng * s) >> 8
+                nr = jnp.where(b == 1, r1, rng - r1)
+                nl = low + jnp.where(b == 1, rng - r1, 0)
+                emit = aj & (nr < 0x100)
+                out_b.append((nl >> 8) |
+                             jnp.where((nl & 0xFF) != 0, 1 << 16, 0))
+                out_v.append(emit)
+                nl = jnp.where(emit, (nl & 0xFF) << 8, nl)
+                nr = jnp.where(emit, nr << 8, nr)
+                low = jnp.where(aj, nl, low)
+                rng = jnp.where(aj, nr, rng)
+
+        # last-wins combined scatter
+        fi_w = []
+        for k in range(U):
+            dup = jnp.zeros((L,), bool)
+            for j in range(k + 1, U):
+                dup = dup | (cU[j] == cU[k])
+            fi_w.append(jnp.where(dup, L * CC, fiU[k]))
+        states = states.at[jnp.stack(fi_w).reshape(-1)].set(
+            jnp.stack(new_rows).reshape(U * L, 32), mode="drop")
+
+        ys = (jnp.stack(out_b, 0).reshape(U, len(order), L),
+              jnp.stack(out_v, 0).reshape(U, len(order), L))
+        return (states, low, rng), ys
+
+    (states, low, rng), (prov, valid) = jax.lax.scan(
+        step, (S0, low0, range0), (ctxS, diffS, actS))
+    # (steps, U, S, L) -> (N, L, S)
+    prov = jnp.moveaxis(prov.reshape(N, len(order), L), 2, 1)
+    valid = jnp.moveaxis(valid.reshape(N, len(order), L), 2, 1)
+    states_out = states.astype(jnp.uint8).reshape(L, CC, 32)
+    return prov, valid, low, rng, states_out
+
+
 @jax.jit
 def finalize_lanes(prov, valid, low, rng, prefix, prefix_len):
     """Vectorized sentinel/terminate/compact/carry-resolve over lanes.
