@@ -60,6 +60,12 @@ CONFIGS = [
      dict(gop_size=3, slices=4, strict=-2)),
     ("v3_440", "yuv440p", ["-level", "3", "-slices", "4"],
      dict(level=3, slices=4)),
+    ("v2_inband", "yuv420p", ["-level", "2", "-strict", "-2",
+                              "-slices", "4"],
+     dict(level=2, strict=-2, slices=4)),
+    ("v2_inband_range", "yuv420p", ["-level", "2", "-coder", "2",
+                                    "-strict", "-2", "-slices", "4"],
+     dict(level=2, coder=2, strict=-2, slices=4)),
 ]
 
 

