@@ -42,9 +42,41 @@ def build_parser():
     p.add_argument("-engine", default="auto",
                    choices=["auto", "spec", "native", "tpu"])
     p.add_argument("-benchmark", action="store_true")
+    p.add_argument("-probe", action="store_true",
+                   help="inspect a stream (the ffprobe analog) and exit")
     p.add_argument("-y", action="store_true", help="overwrite (always on)")
-    p.add_argument("output")
+    p.add_argument("output", nargs="?")
     return p
+
+
+def probe(path: str):
+    """Stream inspection (ffprobe analog; dumps the global-header fields
+    of ffv1dec.c:620-634 plus packet stats)."""
+    from ..io.avi import read_avi
+    from ..bitstream.headers import read_extra_header
+
+    st = read_avi(path)
+    print(f"container: avi, {st.width}x{st.height}, fourcc {st.fourcc}, "
+          f"fps {st.fps[0]}/{st.fps[1]}")
+    if st.extradata:
+        g = read_extra_header(st.extradata)
+        print(f"ffv1: ver:{g.version}.{g.micro_version} coder:{g.ac} "
+              f"colorspace:{g.colorspace} bpr:{g.bits_per_raw_sample} "
+              f"chroma:{int(g.chroma_planes)}({g.chroma_h_shift}:"
+              f"{g.chroma_v_shift}) alpha:{int(g.transparency)} "
+              f"slices:{g.num_h_slices}x{g.num_v_slices} "
+              f"qtabs:{g.quant_table_count} ec:{g.ec} intra:{g.intra}")
+    else:
+        print("ffv1: version < 2 (in-band headers)")
+    sizes = [len(p) for p in st.packets]
+    nkey = sum(st.keyflags)
+    if sizes:
+        print(f"packets: {len(sizes)} ({nkey} key), bytes total "
+              f"{sum(sizes)} min {min(sizes)} avg "
+              f"{sum(sizes) // len(sizes)} max {max(sizes)}")
+    for i, (s, k) in enumerate(zip(sizes, st.keyflags)):
+        print(f"  frame {i}: {'K' if k else 'P'} {s} bytes")
+    return 0
 
 
 def _is_avi(path):
@@ -56,6 +88,11 @@ def run(argv=None):
     from ..codec.params import EncoderParams
     from ..io import avi as avi_io
     from ..io import rawvideo as raw_io
+
+    if args.probe:
+        return probe(args.input)
+    if not args.output:
+        sys.exit("error: output path required")
 
     t0 = time.time()
     npix = 0

@@ -94,8 +94,10 @@ class TPUFFV1Encoder:
                                dtype=jnp.uint8)
         self.picture_number = 0
         # stream length per slice (static per geometry); padded to the
-        # scan unroll factor (padding lanes are exact no-ops)
-        self.unroll = 8
+        # scan unroll factor (padding lanes are exact no-ops).
+        # U=2 measured best on v5e (fixed per-step costs halve; larger U
+        # regresses as per-pixel matmul/cascade work dominates)
+        self.unroll = 2
         self.stream_lens = [self._stream_len(g) for g in self.geoms]
         self.n_max = -(-max(self.stream_lens) // self.unroll) * self.unroll
         # transfer-size cap for the output byte planes (host re-checks
@@ -185,9 +187,9 @@ class TPUFFV1Encoder:
                 acts_np[lane, :n] = True
         acts = jnp.asarray(acts_np)
 
-        prov, valid, low, rng, states_out = rc_encode_scan_lanes(
+        prov, valid, low, rng, states_out = rc_encode_scan_lanes_unrolled(
             ctxs, diffs, acts, states0, self.one_tab, self.zero_tab,
-            lows, ranges, self.bits)
+            lows, ranges, self.bits, self.unroll)
         out, counts = finalize_lanes(prov, valid, low, rng,
                                      prefixes, plens)
         return out[:, :self.out_cap], counts, states_out

@@ -148,8 +148,9 @@ def rc_encode_scan_lanes_unrolled(ctx, diff, active, states0, one_tab,
     U = unroll
     N = ctx.shape[1]
     assert N % U == 0
-    one_i = one_tab.astype(jnp.int32)
-    zero_i = zero_tab.astype(jnp.int32)
+    t_both = jnp.stack([zero_tab.astype(jnp.int8),
+                        one_tab.astype(jnp.int8)], axis=1)  # (256, 2)
+    iota256 = jnp.arange(256, dtype=jnp.int32)
     pos32 = jnp.arange(32, dtype=jnp.int32)[None, :]
     lane_base = jnp.arange(L, dtype=jnp.int32) * CC
 
@@ -197,9 +198,13 @@ def rc_encode_scan_lanes_unrolled(ctx, diff, active, states0, one_tab,
                 m = (cU[j] == cU[k])[:, None]
                 row = jnp.where(m, new_rows[j], row)
             act32, bit32 = pixel_masks(vU[k], aU[k])
+            onehot = (row[..., None] == iota256).astype(jnp.int8)
+            t01 = jax.lax.dot_general(
+                onehot, t_both, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
             new_rows.append(jnp.where(
                 act32,
-                jnp.where(bit32 == 1, one_i[row], zero_i[row]),
+                jnp.where(bit32 == 1, t01[..., 1], t01[..., 0]) & 0xFF,
                 row))
             for p in order:
                 aj = act32[:, p]
