@@ -57,7 +57,7 @@ def bench_tpu(frames, budget_s=900.0):
     from tpu_ffv1.codec.params import EncoderParams
     from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
 
-    batch = int(os.environ.get("FFV1_BENCH_BATCH", "6"))
+    batch = int(os.environ.get("FFV1_BENCH_BATCH", "1"))
     enc = TPUFFV1Encoder(EncoderParams(
         width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
         slices=24), batch=batch)
@@ -105,10 +105,15 @@ def main():
         log(f"host native engine: {host:.2f} Mpixel/s")
     except Exception as e:
         log(f"host bench failed: {e}")
-    try:
-        mpix = bench_tpu(frames)
-    except Exception as e:
-        log(f"tpu bench failed ({e}); reporting host path")
+    mpix = None
+    for attempt in range(2):
+        try:
+            mpix = bench_tpu(frames)
+            break
+        except Exception as e:
+            log(f"tpu bench attempt {attempt} failed ({e})")
+    if mpix is None:
+        log("tpu unavailable; reporting host path")
         mpix = bench_host(frames)
     print(json.dumps({
         "metric": "ffv1_encode_1080p_mpix_s",

@@ -1,0 +1,227 @@
+"""Pallas TPU kernel for the adaptive range-coder scan (encode).
+
+The XLA lax.scan formulation (rc_scan_lanes.py) is bounded by per-step
+dispatch of the state-row gather/scatter (dynamic indices force XLA:TPU
+into slow scatter lowerings).  This kernel keeps the per-lane context
+state tables resident in VMEM and addresses rows with *scalar* indices
+read from SMEM — the TPU-native way to do data-dependent addressing —
+while the per-pixel decision masks, the state-transition one-hot
+contraction (MXU) and the low/range chain stay vectorized over lanes.
+
+Layout notes:
+  * states: (L, CC, 128) int8 in VMEM scratch — the 32-byte context row
+    padded to the 128-lane tile; int8 keeps it at ~4 MB for 24 lanes of
+    the 3-input model x 2 plane groups.
+  * ctx stream: SMEM block (scalar reads drive the row addressing).
+  * diff/act streams: VMEM blocks (vector math).
+  * per-chunk outputs: provisional values packed with the valid flag
+    (bit 20) and the low-byte carry flag (bit 16), shaped (CH, S, L).
+
+Grid is sequential over pixel chunks; scratch (states, low, range)
+persists across grid steps.  Outputs feed the same finalize_lanes
+compaction as the XLA path.
+
+STATUS: byte-exact vs the XLA kernel under the Pallas TPU interpreter
+(tests/test_pallas.py).  Compiling for real v5e currently aborts inside
+Mosaic's VectorLayoutInferer (CHECK failure 'offsets_[0] < tiling_[0]',
+reproduced with both 1-D and all-2-D formulations) — revisit with a
+newer jax/libtpu; expected ~1 us/pixel (vs ~8.8 us on the XLA path)
+once it compiles.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rc_scan_fast import chain_order
+
+
+def _kernel(bits, L, CC, CH, S, order,
+            ctx_ref, diff_ref, act_ref, tboth_ref, states0_ref,
+            low0_ref, rng0_ref,
+            prov_ref, lowout_ref, rngout_ref, statesout_ref,
+            states, lowv, rngv):
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        states[...] = states0_ref[...]
+        lowv[...] = low0_ref[...]
+        rngv[...] = rng0_ref[...]
+
+    pos32 = jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1)
+    iota256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+
+    def pixel(i, _):
+        # everything stays 2-D (L, 1) columns: Mosaic layout inference is
+        # brittle around 1-D intermediates
+        low = jnp.transpose(lowv[pl.ds(0, 1), :])              # (L, 1)
+        rng = jnp.transpose(rngv[pl.ds(0, 1), :])              # (L, 1)
+        v = jnp.transpose(diff_ref[pl.ds(i, 1), :])            # (L, 1)
+
+        # per-lane state row load: Mosaic requires sublane-aligned
+        # dynamic indices, so load the aligned 8-row block containing the
+        # context row and select the row within it
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        row_list = []
+        blocks = []
+        subs = []
+        for lane in range(L):
+            ci = ctx_ref[i, lane]
+            base = pl.multiple_of((ci >> 3) * 8, 8)
+            block = states[lane, pl.ds(base, 8), :].astype(jnp.int32) & 0xFF
+            sub = ci & 7
+            row = jnp.sum(jnp.where(iota8 == sub, block, 0), axis=0,
+                          keepdims=True)          # (1, 128)
+            blocks.append(block)
+            subs.append(sub)
+            row_list.append(row[:, :32])
+        rows = jnp.concatenate(row_list, 0)       # (L, 32)
+
+        a = jnp.abs(v)
+        e = 31 - jax.lax.clz(jnp.maximum(a, 1).astype(jnp.uint32)) \
+            .astype(jnp.int32)
+        vL = v                                     # (L, 1)
+        aL = a
+        eL = e
+        nzL = vL != 0
+        apxL = jnp.transpose(act_ref[pl.ds(i, 1), :]) != 0
+        is_exp = (pos32 >= 1) & (pos32 <= 10)
+        is_man = pos32 >= 22
+        act32 = ((pos32 == 0) |
+                 (is_exp & nzL & (pos32 - 1 <= eL)) |
+                 ((pos32 >= 11) & (pos32 <= 21) & nzL &
+                  (pos32 == 11 + eL)) |
+                 (is_man & nzL & (pos32 - 22 < eL))) & apxL
+        bit32 = jnp.where(
+            pos32 == 0, (~nzL).astype(jnp.int32),
+            jnp.where(is_exp, (pos32 - 1 < eL).astype(jnp.int32),
+                      jnp.where(is_man,
+                                (aL >> jnp.clip(pos32 - 22, 0, 30)) & 1,
+                                (vL < 0).astype(jnp.int32))))
+
+        onehot = (rows[..., None] == iota256.reshape(1, 1, 256)) \
+            .astype(jnp.int8).reshape(L * 32, 256)
+        t01 = jax.lax.dot_general(
+            onehot, tboth_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).reshape(L, 32, 2)
+        new_rows = jnp.where(act32,
+                             jnp.where(bit32 == 1, t01[..., 1],
+                                       t01[..., 0]) & 0xFF,
+                             rows)
+
+        for lane in range(L):
+            ci = ctx_ref[i, lane]
+            base = pl.multiple_of((ci >> 3) * 8, 8)
+            nr128 = jnp.concatenate(
+                [new_rows[lane], jnp.zeros((96,), jnp.int32)])
+            nb = jnp.where(iota8 == subs[lane], nr128[None, :],
+                           blocks[lane])
+            states[lane, pl.ds(base, 8), :] = nb.astype(jnp.int8)
+
+        outs = []
+        for p in order:
+            aj = act32[:, p:p + 1]                 # (L, 1)
+            s = rows[:, p:p + 1]
+            b = bit32[:, p:p + 1]
+            r1 = (rng * s) >> 8
+            nr = jnp.where(b == 1, r1, rng - r1)
+            nl = low + jnp.where(b == 1, rng - r1, 0)
+            emit = aj & (nr < 0x100)
+            pv = (nl >> 8) | jnp.where((nl & 0xFF) != 0, 1 << 16, 0) | \
+                jnp.where(emit, 1 << 20, 0)
+            outs.append(pv)
+            nl = jnp.where(emit, (nl & 0xFF) << 8, nl)
+            nr = jnp.where(emit, nr << 8, nr)
+            low = jnp.where(aj, nl, low)
+            rng = jnp.where(aj, nr, rng)
+
+        prov_ref[i, :, :] = jnp.transpose(
+            jnp.concatenate(outs, 1))              # (S, L)
+        lowv[pl.ds(0, 1), :] = jnp.transpose(low)
+        rngv[pl.ds(0, 1), :] = jnp.transpose(rng)
+        return 0
+
+    jax.lax.fori_loop(0, CH, pixel, 0)
+
+    @pl.when(step == nsteps - 1)
+    def _fin():
+        lowout_ref[...] = lowv[...]
+        rngout_ref[...] = rngv[...]
+        statesout_ref[...] = states[...]
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "chunk"))
+def rc_encode_pallas(ctx, diff, active, states0, one_tab, zero_tab,
+                     low0, range0, bits: int, chunk: int = 512):
+    """Pallas-backed replacement for rc_encode_scan_lanes.
+
+    Same contract; prov/valid are returned as (N, L, S) with valid
+    unpacked from bit 20.  states0 must be uint8 (L, CC, 32).
+    """
+    L, N = ctx.shape
+    CC = -(-states0.shape[1] // 8) * 8   # pad to sublane granularity
+    order = chain_order(bits)
+    S = len(order)
+    assert N % chunk == 0
+    nsteps = N // chunk
+
+    tboth = jnp.stack([zero_tab.astype(jnp.int8),
+                       one_tab.astype(jnp.int8)], axis=1)  # (256, 2)
+
+    kernel = functools.partial(_kernel, bits, L, CC, chunk, S, order)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((chunk, L), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),      # ctx
+            pl.BlockSpec((chunk, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),      # diff
+            pl.BlockSpec((chunk, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),      # act
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # tboth
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # states0
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # low0
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # range0
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, S, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),      # prov (packed)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # low out
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # range out
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # states out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, CC, 128), jnp.int8),         # states
+            pltpu.VMEM((1, L), jnp.int32),              # low
+            pltpu.VMEM((1, L), jnp.int32),              # range
+        ],
+    )
+    states0_pad = jnp.zeros((L, CC, 128), jnp.int8).at[
+        :, :states0.shape[1], :32].set(states0.astype(jnp.int8))
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, S, L), jnp.int32),
+            jax.ShapeDtypeStruct((1, L), jnp.int32),
+            jax.ShapeDtypeStruct((1, L), jnp.int32),
+            jax.ShapeDtypeStruct((L, CC, 128), jnp.int8),
+        ],
+    )(ctx.T.astype(jnp.int32), diff.T.astype(jnp.int32),
+      active.T.astype(jnp.int32), tboth, states0_pad,
+      low0[None, :].astype(jnp.int32), range0[None, :].astype(jnp.int32))
+    prov, low, rng, states_out = res
+
+    valid = (prov >> 20) & 1
+    prov_out = jnp.moveaxis(prov & 0x1FFFF, 2, 1)       # (N, L, S)
+    valid_out = jnp.moveaxis(valid, 2, 1).astype(bool)
+    states_u8 = states_out[:, :states0.shape[1], :32].astype(jnp.uint8)
+    return prov_out, valid_out, low[0], rng[0], states_u8
