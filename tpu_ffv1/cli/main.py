@@ -90,7 +90,12 @@ def run(argv=None):
     from ..io import rawvideo as raw_io
 
     if args.probe:
-        return probe(args.input)
+        try:
+            return probe(args.input)
+        except BrokenPipeError:
+            return 0
+        except (ValueError, OSError) as e:
+            sys.exit(f"error: {e}")
     if not args.output:
         sys.exit("error: output path required")
 

@@ -245,10 +245,14 @@ class TPUFFV1Encoder:
                 jnp.asarray(ranges), jnp.asarray(prefixes),
                 jnp.asarray(plens))
             self.states = states_out
-            out_np = np.asarray(out)
             counts_np = np.asarray(counts)
             if counts_np.max() > self.out_cap:
                 raise RuntimeError("encoded slice exceeded output cap")
+            # fetch only the used byte range (device->host transfers over
+            # a tunnel dominate otherwise)
+            cap2 = min(self.out_cap,
+                       (int(counts_np.max()) + 511) // 512 * 512)
+            out_np = np.asarray(out[:, :cap2])
             payloads = [bytes(out_np[li, :counts_np[li]])
                         for li in range(self.L)]
         else:
