@@ -102,3 +102,28 @@ def test_parity(tmp_path, label, pix_fmt, encopts, kwargs):
                                 packets=mypkts, keyflags=mykeys))
     ref_frames = ref_decode(my_avi, pix_fmt, W, H, tmpdir)
     assert frames_equal(ref_frames, frames)
+
+
+V4_CONFIGS = [
+    ("v4_420", "yuv420p", ["-level", "4", "-strict", "-2", "-slices", "4",
+                           "-g", "3"]),
+    ("v4_bgr0", "bgr0", ["-level", "4", "-strict", "-2", "-slices", "4"]),
+    ("v4_422p10", "yuv422p10le", ["-level", "4", "-strict", "-2",
+                                  "-slices", "4"]),
+]
+
+
+@pytest.mark.parametrize("label,pix_fmt,encopts", V4_CONFIGS,
+                         ids=[c[0] for c in V4_CONFIGS])
+def test_v4_decode(tmp_path, label, pix_fmt, encopts):
+    """Version-4 streams (per-slice rct coefs, slice_reset_contexts, PCM
+    fallback headers) from the reference's experimental encoder must
+    decode losslessly (ffv1dec.c:345-356 paths)."""
+    tmpdir = str(tmp_path)
+    frames = synth_frames(pix_fmt, W, H, N)
+    avi = os.path.join(tmpdir, "ref4.avi")
+    st = ref_encode(frames, pix_fmt, W, H, encopts, avi, tmpdir)
+    dec = FFV1Decoder(W, H, st.extradata)
+    assert dec.version == 4
+    decoded = [dec.decode_frame(p)[0] for p in st.packets]
+    assert frames_equal(decoded, frames)

@@ -52,12 +52,18 @@ def build_parser():
 def probe(path: str):
     """Stream inspection (ffprobe analog; dumps the global-header fields
     of ffv1dec.c:620-634 plus packet stats)."""
-    from ..io.avi import read_avi
     from ..bitstream.headers import read_extra_header
 
-    st = read_avi(path)
-    print(f"container: avi, {st.width}x{st.height}, fourcc {st.fourcc}, "
-          f"fps {st.fps[0]}/{st.fps[1]}")
+    if _is_mkv(path):
+        from ..io.mkv import read_mkv
+        st = read_mkv(path)
+        print(f"container: matroska, {st.width}x{st.height}, "
+              f"fps {st.fps[0]}/{st.fps[1]}")
+    else:
+        from ..io.avi import read_avi
+        st = read_avi(path)
+        print(f"container: avi, {st.width}x{st.height}, fourcc "
+              f"{st.fourcc}, fps {st.fps[0]}/{st.fps[1]}")
     if st.extradata:
         g = read_extra_header(st.extradata)
         print(f"ffv1: ver:{g.version}.{g.micro_version} coder:{g.ac} "
@@ -83,6 +89,10 @@ def _is_avi(path):
     return path.lower().endswith(".avi")
 
 
+def _is_mkv(path):
+    return path.lower().endswith((".mkv", ".webm"))
+
+
 def run(argv=None):
     args = build_parser().parse_args(argv)
     from ..codec.params import EncoderParams
@@ -102,9 +112,13 @@ def run(argv=None):
     t0 = time.time()
     npix = 0
 
-    if _is_avi(args.input):
+    if _is_avi(args.input) or _is_mkv(args.input):
         # ---- decode path ----
-        st = avi_io.read_avi(args.input)
+        if _is_mkv(args.input):
+            from ..io import mkv as mkv_io
+            st = mkv_io.read_mkv(args.input)
+        else:
+            st = avi_io.read_avi(args.input)
         from ..codec.decoder import FFV1Decoder
         engine = args.engine if args.engine != "tpu" else "auto"
         dec = FFV1Decoder(st.width, st.height, st.extradata or None,
@@ -141,11 +155,17 @@ def run(argv=None):
             pkts.append(pkt)
             keys.append(key)
             npix += w * h
-        if not _is_avi(args.output):
-            sys.exit("error: only .avi output is supported for encoding")
-        avi_io.write_avi(args.output, avi_io.AviStream(
-            width=w, height=h, extradata=enc.extradata or b"",
-            packets=pkts, keyflags=keys))
+        if _is_mkv(args.output):
+            from ..io import mkv as mkv_io
+            mkv_io.write_mkv(args.output, mkv_io.MkvStream(
+                width=w, height=h, extradata=enc.extradata or b"",
+                packets=pkts, keyflags=keys))
+        elif _is_avi(args.output):
+            avi_io.write_avi(args.output, avi_io.AviStream(
+                width=w, height=h, extradata=enc.extradata or b"",
+                packets=pkts, keyflags=keys))
+        else:
+            sys.exit("error: only .avi/.mkv output is supported")
         total = sum(len(p) for p in pkts)
         what = (f"encoded {len(pkts)} frames {w}x{h} -> {total} bytes "
                 f"(v{enc.rp.version}, coder {enc.rp.ac})")
