@@ -54,16 +54,9 @@ def probe(path: str):
     of ffv1dec.c:620-634 plus packet stats)."""
     from ..bitstream.headers import read_extra_header
 
-    if _is_mkv(path):
-        from ..io.mkv import read_mkv
-        st = read_mkv(path)
-        print(f"container: matroska, {st.width}x{st.height}, "
-              f"fps {st.fps[0]}/{st.fps[1]}")
-    else:
-        from ..io.avi import read_avi
-        st = read_avi(path)
-        print(f"container: avi, {st.width}x{st.height}, fourcc "
-              f"{st.fourcc}, fps {st.fps[0]}/{st.fps[1]}")
+    st, kind = _read_container(path)
+    print(f"container: {kind}, {st.width}x{st.height}, "
+          f"fps {st.fps[0]}/{st.fps[1]}")
     if st.extradata:
         g = read_extra_header(st.extradata)
         print(f"ffv1: ver:{g.version}.{g.micro_version} coder:{g.ac} "
@@ -93,6 +86,21 @@ def _is_mkv(path):
     return path.lower().endswith((".mkv", ".webm"))
 
 
+def _is_nut(path):
+    return path.lower().endswith(".nut")
+
+
+def _read_container(path):
+    if _is_mkv(path):
+        from ..io.mkv import read_mkv
+        return read_mkv(path), "matroska"
+    if _is_nut(path):
+        from ..io.nut import read_nut
+        return read_nut(path), "nut"
+    from ..io.avi import read_avi
+    return read_avi(path), "avi"
+
+
 def run(argv=None):
     args = build_parser().parse_args(argv)
     from ..codec.params import EncoderParams
@@ -112,13 +120,9 @@ def run(argv=None):
     t0 = time.time()
     npix = 0
 
-    if _is_avi(args.input) or _is_mkv(args.input):
+    if _is_avi(args.input) or _is_mkv(args.input) or _is_nut(args.input):
         # ---- decode path ----
-        if _is_mkv(args.input):
-            from ..io import mkv as mkv_io
-            st = mkv_io.read_mkv(args.input)
-        else:
-            st = avi_io.read_avi(args.input)
+        st, _kind = _read_container(args.input)
         from ..codec.decoder import FFV1Decoder
         engine = args.engine if args.engine != "tpu" else "auto"
         dec = FFV1Decoder(st.width, st.height, st.extradata or None,
@@ -160,12 +164,17 @@ def run(argv=None):
             mkv_io.write_mkv(args.output, mkv_io.MkvStream(
                 width=w, height=h, extradata=enc.extradata or b"",
                 packets=pkts, keyflags=keys))
+        elif _is_nut(args.output):
+            from ..io import nut as nut_io
+            nut_io.write_nut(args.output, nut_io.NutStream(
+                width=w, height=h, extradata=enc.extradata or b"",
+                packets=pkts, keyflags=keys))
         elif _is_avi(args.output):
             avi_io.write_avi(args.output, avi_io.AviStream(
                 width=w, height=h, extradata=enc.extradata or b"",
                 packets=pkts, keyflags=keys))
         else:
-            sys.exit("error: only .avi/.mkv output is supported")
+            sys.exit("error: only .avi/.mkv/.nut output is supported")
         total = sum(len(p) for p in pkts)
         what = (f"encoded {len(pkts)} frames {w}x{h} -> {total} bytes "
                 f"(v{enc.rp.version}, coder {enc.rp.ac})")
