@@ -17,8 +17,7 @@ import numpy as np
 
 from ..core import tables as T
 from ..core.crc import crc32_ieee
-from ..core.rac import (RangeDecoder, RangeEncoder, build_rac_states,
-                        custom_state_tables, default_state_tables)
+from ..core.rac import RangeDecoder, RangeEncoder, default_state_tables
 from .symbols import get_symbol, put_symbol
 
 

@@ -18,8 +18,7 @@ from ..core.crc import crc32_ieee
 from ..core.golomb import BitReader, new_vlc_states
 from ..core.rac import RangeDecoder, custom_state_tables, default_state_tables
 from ..core.intmath import ceil_rshift
-from .context import (PlaneState, SliceState, alloc_slice_state,
-                      clear_slice_state, slice_grid)
+from .context import PlaneState, SliceState, slice_grid
 from .pixfmt import get_pix_fmt, reconstruct_pix_fmt
 from .slice_codec import decode_plane, decode_rgb_frame
 
@@ -410,7 +409,7 @@ class FFV1Decoder:
             slice_bufs[i] = (start, end)
             end = start
 
-        for i in range(self.slice_count):
+        def run_slice(i):
             ss = self.slices[i]
             if keyframe:
                 ss.slice_damaged = False
@@ -427,6 +426,20 @@ class FFV1Decoder:
                 self._decode_slice(i, buf, src, planes, keyframe)
             except (ValueError, IndexError):
                 ss.slice_damaged = True
+
+        if self.engine == "native" and self.slice_count > 1:
+            # slice-thread pool (pthread_slice.c analog); slices write
+            # disjoint plane rects and own their states
+            import concurrent.futures
+            if not hasattr(self, "_pool") or self._pool is None:
+                import os as _os
+                self._pool = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=min(self.slice_count,
+                                    _os.cpu_count() or 1))
+            list(self._pool.map(run_slice, range(self.slice_count)))
+        else:
+            for i in range(self.slice_count):
+                run_slice(i)
 
         # concealment: copy damaged rects from the previous picture
         # (ffv1dec.c:998-1021)

@@ -13,7 +13,6 @@ nut_write_packet framing.
 """
 from __future__ import annotations
 
-import struct
 from dataclasses import dataclass, field
 
 from ..core.crc import crc32_ieee

@@ -24,7 +24,7 @@ import numpy as np
 from ..bitstream.symbols import get_symbol, put_symbol
 from ..codec.decoder import FFV1Decoder
 from ..codec.encoder import FFV1Encoder
-from ..codec.params import EncoderParams, resolve
+from ..codec.params import EncoderParams
 from ..core.rac import RangeDecoder, RangeEncoder, default_state_tables
 from .motion import (block_motion_search, motion_compensate, pad_to_block)
 

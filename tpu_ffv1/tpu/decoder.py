@@ -14,7 +14,6 @@ import numpy as np
 
 from ..bitstream.headers import read_extra_header, read_slice_header
 from ..core import tables as T
-from ..core.crc import crc32_ieee
 from ..core.rac import RangeDecoder, custom_state_tables, default_state_tables
 from ..core.intmath import ceil_rshift
 from ..codec.context import SliceState, slice_grid

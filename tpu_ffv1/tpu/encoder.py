@@ -34,8 +34,7 @@ from ..codec.context import slice_grid
 from ..codec.params import EncoderParams, resolve
 from .residual import load_plane, residuals_and_contexts
 from .rc_scan import finalize_slice, rc_encode_scan
-from .rc_scan_lanes import (finalize_lanes, rc_encode_scan_lanes,
-                            rc_encode_scan_lanes_unrolled)
+from .rc_scan_lanes import finalize_lanes, rc_encode_scan_lanes_unrolled
 
 PREFIX_CAP = 96
 

@@ -15,7 +15,6 @@ host assembles the footer chain from the gathered outputs.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .rc_scan_lanes import finalize_lanes, rc_encode_scan_lanes
