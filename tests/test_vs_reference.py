@@ -127,3 +127,36 @@ def test_v4_decode(tmp_path, label, pix_fmt, encopts):
     assert dec.version == 4
     decoded = [dec.decode_frame(p)[0] for p in st.packets]
     assert frames_equal(decoded, frames)
+
+
+V4_ENC_CONFIGS = [("yuv420p",), ("bgr0",), ("gbrp12le",), ("gray8",)]
+
+
+@pytest.mark.parametrize("pix_fmt", [c[0] for c in V4_ENC_CONFIGS])
+def test_v4_encode_reference_decodes(tmp_path, pix_fmt):
+    """Our experimental v4 encoder (per-slice RCT search, v4 headers,
+    single-plane gray) must produce streams the reference binary decodes
+    losslessly.  (v4 YUV is not bit-identical to the reference encoder by
+    design — see codec/rct.py.)"""
+    from .util import ref_decode
+    tmpdir = str(tmp_path)
+    frames = synth_frames(pix_fmt, W, H, N)
+    enc = FFV1Encoder(EncoderParams(width=W, height=H, pix_fmt=pix_fmt,
+                                    level=4, strict=-2, slices=4,
+                                    gop_size=3))
+    assert enc.rp.version == 4
+    dec = FFV1Decoder(W, H, enc.extradata)
+    pkts = []
+    keys = []
+    for f in frames:
+        pkt, key = enc.encode_frame(f)
+        pkts.append(pkt)
+        keys.append(key)
+        planes, _ = dec.decode_frame(pkt)
+        for a, b in zip(planes, f):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+    my_avi = os.path.join(tmpdir, "v4.avi")
+    write_avi(my_avi, AviStream(width=W, height=H,
+                                extradata=enc.extradata,
+                                packets=pkts, keyflags=keys))
+    assert frames_equal(ref_decode(my_avi, pix_fmt, W, H, tmpdir), frames)

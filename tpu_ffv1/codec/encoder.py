@@ -109,6 +109,13 @@ class FFV1Encoder:
         ss.slice_coding_mode = 0
         ss.slice_rct_by_coef = 1
         ss.slice_rct_ry_coef = 1
+        if rp.version > 3 and rp.colorspace == 1:
+            # per-slice RCT search (ffv1enc.c:1163-1168; see codec/rct.py
+            # for why YUV keeps the defaults here)
+            from .rct import choose_rct_params
+            sp0 = self._slice_planes(planes, geom)
+            ss.slice_rct_by_coef, ss.slice_rct_ry_coef = \
+                choose_rct_params(sp0, rp.bits_per_raw_sample <= 8)
 
         if keyframe:
             clear_slice_state(rp, ss)
