@@ -35,6 +35,7 @@ from ..codec.params import EncoderParams, resolve
 from .residual import load_plane, residuals_and_contexts
 from .rc_scan import finalize_slice, rc_encode_scan
 from .rc_scan_lanes import finalize_lanes, rc_encode_scan_lanes_unrolled
+from .rc_pallas import rc_encode_pallas
 
 PREFIX_CAP = 96
 
@@ -97,8 +98,15 @@ class TPUFFV1Encoder:
         # U=2 measured best on v5e (fixed per-step costs halve; larger U
         # regresses as per-pixel matmul/cascade work dominates)
         self.unroll = 2
+        # Pallas kernel (VMEM-resident states) on real accelerators; the
+        # XLA scan elsewhere (Pallas-CPU is interpreter-slow)
+        import jax as _jax
+        self.use_pallas = (self.fast and
+                           _jax.devices()[0].platform != "cpu")
+        self.pallas_chunk = 216
         self.stream_lens = [self._stream_len(g) for g in self.geoms]
-        self.n_max = -(-max(self.stream_lens) // self.unroll) * self.unroll
+        pad = self.pallas_chunk * self.unroll
+        self.n_max = -(-max(self.stream_lens) // pad) * pad
         # transfer-size cap for the output byte planes (host re-checks
         # counts; codeable worst case is ~2.2 bytes/pixel at 8 bit)
         self.out_cap = self.n_max * 3 + 4096
@@ -186,9 +194,15 @@ class TPUFFV1Encoder:
                 acts_np[lane, :n] = True
         acts = jnp.asarray(acts_np)
 
-        prov, valid, low, rng, states_out = rc_encode_scan_lanes_unrolled(
-            ctxs, diffs, acts, states0, self.one_tab, self.zero_tab,
-            lows, ranges, self.bits, self.unroll)
+        if self.use_pallas:
+            prov, valid, low, rng, states_out = rc_encode_pallas(
+                ctxs, diffs, acts, states0, self.one_tab, self.zero_tab,
+                lows, ranges, self.bits, self.pallas_chunk)
+        else:
+            prov, valid, low, rng, states_out = \
+                rc_encode_scan_lanes_unrolled(
+                    ctxs, diffs, acts, states0, self.one_tab,
+                    self.zero_tab, lows, ranges, self.bits, self.unroll)
         out, counts = finalize_lanes(prov, valid, low, rng,
                                      prefixes, plens)
         return out[:, :self.out_cap], counts, states_out

@@ -41,7 +41,7 @@ from .rc_scan_fast import chain_order
 
 
 def _kernel(bits, L, CC, CH, S, order,
-            ctx_ref, diff_ref, act_ref, tboth_ref, states0_ref,
+            ctx_ref, diff_ref, act_ref, t0_ref, t1_ref, states0_ref,
             low0_ref, rng0_ref,
             prov_ref, lowout_ref, rngout_ref, statesout_ref,
             states, lowv, rngv):
@@ -107,21 +107,30 @@ def _kernel(bits, L, CC, CH, S, order,
 
         onehot = (rows[..., None] == iota256.reshape(1, 1, 256)) \
             .astype(jnp.int8).reshape(L * 32, 256)
-        t01 = jax.lax.dot_general(
-            onehot, tboth_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32).reshape(L, 32, 2)
+        # two separate contractions against separate (256, 1) tables:
+        # any minor-dim offset slice (t01[..., 1] / tboth[:, 1:2])
+        # crashes Mosaic's VectorLayoutInferer
+        t0 = jax.lax.dot_general(
+            onehot, t0_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).reshape(L, 32)
+        t1 = jax.lax.dot_general(
+            onehot, t1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).reshape(L, 32)
         new_rows = jnp.where(act32,
-                             jnp.where(bit32 == 1, t01[..., 1],
-                                       t01[..., 0]) & 0xFF,
+                             jnp.where(bit32 == 1, t1, t0) & 0xFF,
                              rows)
 
+        ilane = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
         for lane in range(L):
             ci = ctx_ref[i, lane]
             base = pl.multiple_of((ci >> 3) * 8, 8)
+            # extract the lane's row via a reduction: slicing (row
+            # offsets) trips Mosaic layout inference in concat/store
+            nr = jnp.sum(jnp.where(ilane == lane, new_rows, 0), axis=0,
+                         keepdims=True)                  # (1, 32)
             nr128 = jnp.concatenate(
-                [new_rows[lane], jnp.zeros((96,), jnp.int32)])
-            nb = jnp.where(iota8 == subs[lane], nr128[None, :],
-                           blocks[lane])
+                [nr, jnp.zeros((1, 96), jnp.int32)], axis=1)
+            nb = jnp.where(iota8 == subs[lane], nr128, blocks[lane])
             states[lane, pl.ds(base, 8), :] = nb.astype(jnp.int8)
 
         outs = []
@@ -133,8 +142,9 @@ def _kernel(bits, L, CC, CH, S, order,
             nr = jnp.where(b == 1, r1, rng - r1)
             nl = low + jnp.where(b == 1, rng - r1, 0)
             emit = aj & (nr < 0x100)
-            pv = (nl >> 8) | jnp.where((nl & 0xFF) != 0, 1 << 16, 0) | \
-                jnp.where(emit, 1 << 20, 0)
+            pv = ((nl >> 8) |
+                  jnp.where((nl & 0xFF) != 0, 1 << 16, 0)) + \
+                emit.astype(jnp.int32) * (1 << 20)
             outs.append(pv)
             nl = jnp.where(emit, (nl & 0xFF) << 8, nl)
             nr = jnp.where(emit, nr << 8, nr)
@@ -171,8 +181,8 @@ def rc_encode_pallas(ctx, diff, active, states0, one_tab, zero_tab,
     assert N % chunk == 0
     nsteps = N // chunk
 
-    tboth = jnp.stack([zero_tab.astype(jnp.int8),
-                       one_tab.astype(jnp.int8)], axis=1)  # (256, 2)
+    t0_tab = zero_tab.astype(jnp.int8)[:, None]   # (256, 1)
+    t1_tab = one_tab.astype(jnp.int8)[:, None]
 
     kernel = functools.partial(_kernel, bits, L, CC, chunk, S, order)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -185,7 +195,8 @@ def rc_encode_pallas(ctx, diff, active, states0, one_tab, zero_tab,
                          memory_space=pltpu.VMEM),      # diff
             pl.BlockSpec((chunk, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),      # act
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # tboth
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # t0
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # t1
             pl.BlockSpec(memory_space=pltpu.VMEM),      # states0
             pl.BlockSpec(memory_space=pltpu.VMEM),      # low0
             pl.BlockSpec(memory_space=pltpu.VMEM),      # range0
@@ -215,7 +226,7 @@ def rc_encode_pallas(ctx, diff, active, states0, one_tab, zero_tab,
             jax.ShapeDtypeStruct((L, CC, 128), jnp.int8),
         ],
     )(ctx.T.astype(jnp.int32), diff.T.astype(jnp.int32),
-      active.T.astype(jnp.int32), tboth, states0_pad,
+      active.T.astype(jnp.int32), t0_tab, t1_tab, states0_pad,
       low0[None, :].astype(jnp.int32), range0[None, :].astype(jnp.int32))
     prov, low, rng, states_out = res
 
