@@ -57,7 +57,7 @@ def bench_tpu(frames, budget_s=900.0):
     from tpu_ffv1.codec.params import EncoderParams
     from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
 
-    batch = int(os.environ.get("FFV1_BENCH_BATCH", "1"))
+    batch = int(os.environ.get("FFV1_BENCH_BATCH", "4"))
     enc = TPUFFV1Encoder(EncoderParams(
         width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
         slices=24), batch=batch)

@@ -103,7 +103,9 @@ class TPUFFV1Encoder:
         import jax as _jax
         self.use_pallas = (self.fast and
                            _jax.devices()[0].platform != "cpu")
-        self.pallas_chunk = 216
+        # per-chunk VMEM windows scale with lane count; keep them
+        # bounded and 8-divisible (Pallas block-shape requirement)
+        self.pallas_chunk = max(48, (216 // batch) // 8 * 8)
         self.stream_lens = [self._stream_len(g) for g in self.geoms]
         pad = self.pallas_chunk * self.unroll
         self.n_max = -(-max(self.stream_lens) // pad) * pad
@@ -203,9 +205,23 @@ class TPUFFV1Encoder:
                 rc_encode_scan_lanes_unrolled(
                     ctxs, diffs, acts, states0, self.one_tab,
                     self.zero_tab, lows, ranges, self.bits, self.unroll)
-        out, counts = finalize_lanes(prov, valid, low, rng,
-                                     prefixes, plens)
-        return out[:, :self.out_cap], counts, states_out
+        # pre-compact each pixel's emission slots: >99.99% of pixels emit
+        # <= 4 bytes, and the final compaction sort cost scales with the
+        # slot count.  overflow (a pixel emitting more) falls back to the
+        # full-width path (host checks the returned flag).
+        S2 = 4
+        key = jnp.where(valid,
+                        jnp.arange(prov.shape[2], dtype=jnp.int32)[None,
+                                                                   None, :],
+                        jnp.int32(1 << 20))
+        _, prov_s, valid_s = jax.lax.sort(
+            (key, prov, valid.astype(jnp.int32)), dimension=2, num_keys=1)
+        overflow = jnp.max(jnp.sum(valid, axis=2)) > S2
+        out, counts = finalize_lanes(prov_s[:, :, :S2],
+                                     valid_s[:, :, :S2].astype(bool),
+                                     low, rng, prefixes, plens)
+        return out[:, :self.out_cap], counts, states_out, overflow, \
+            prov, valid, low, rng
 
     def _assemble(self, payloads):
         rp = self.rp
@@ -253,10 +269,18 @@ class TPUFFV1Encoder:
             self.states
 
         if self.fast:
-            out, counts, states_out = self._frame_fn(
+            (out, counts, states_out, overflow, prov, valid, low,
+             rng) = self._frame_fn(
                 streams, states0, jnp.asarray(lows),
                 jnp.asarray(ranges), jnp.asarray(prefixes),
                 jnp.asarray(plens))
+            if bool(overflow):
+                # rare: some pixel emitted > 4 bytes; redo the compaction
+                # at full slot width
+                out, counts = finalize_lanes(prov, valid, low, rng,
+                                             jnp.asarray(prefixes),
+                                             jnp.asarray(plens))
+                out = out[:, :self.out_cap]
             self.states = states_out
             counts_np = np.asarray(counts)
             if counts_np.max() > self.out_cap:

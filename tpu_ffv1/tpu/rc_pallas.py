@@ -64,23 +64,31 @@ def _kernel(bits, L, CC, CH, S, order,
         rng = jnp.transpose(rngv[pl.ds(0, 1), :])              # (L, 1)
         v = jnp.transpose(diff_ref[pl.ds(i, 1), :])            # (L, 1)
 
-        # per-lane state row load: Mosaic requires sublane-aligned
-        # dynamic indices, so load the aligned 8-row block containing the
-        # context row and select the row within it
+        # Packed state layout: each (8, 128) tile holds 32 context rows
+        # (8 sublanes x 4 lane-groups of 32).  Row c lives at tile c>>5,
+        # sublane (c>>2)&7, lane group c&3.  Dynamic indices stay
+        # sublane-aligned; group selection is mask-based (no lane-offset
+        # slices — those trip Mosaic).
         iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
         row_list = []
         blocks = []
         subs = []
+        groups = []
         for lane in range(L):
             ci = ctx_ref[i, lane]
-            base = pl.multiple_of((ci >> 3) * 8, 8)
+            base = pl.multiple_of((ci >> 5) * 8, 8)
             block = states[lane, pl.ds(base, 8), :].astype(jnp.int32) & 0xFF
-            sub = ci & 7
-            row = jnp.sum(jnp.where(iota8 == sub, block, 0), axis=0,
-                          keepdims=True)          # (1, 128)
+            sub = (ci >> 2) & 7
+            group = ci & 3
+            rowfull = jnp.sum(jnp.where(iota8 == sub, block, 0), axis=0,
+                              keepdims=True)       # (1, 128)
+            # rotate the selected 32-lane group to the front (dynamic
+            # lane rotate; lane reshapes/offset slices are unsupported)
+            rolled = pltpu.roll(rowfull, -group * 32, 1)
+            row_list.append(rolled[:, :32])
             blocks.append(block)
             subs.append(sub)
-            row_list.append(row[:, :32])
+            groups.append(group)
         rows = jnp.concatenate(row_list, 0)       # (L, 32)
 
         a = jnp.abs(v)
@@ -121,16 +129,18 @@ def _kernel(bits, L, CC, CH, S, order,
                              rows)
 
         ilane = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         for lane in range(L):
             ci = ctx_ref[i, lane]
-            base = pl.multiple_of((ci >> 3) * 8, 8)
-            # extract the lane's row via a reduction: slicing (row
-            # offsets) trips Mosaic layout inference in concat/store
+            base = pl.multiple_of((ci >> 5) * 8, 8)
+            # extract the lane's row via a reduction (slices with row
+            # offsets trip Mosaic layout inference in concat/store)
             nr = jnp.sum(jnp.where(ilane == lane, new_rows, 0), axis=0,
                          keepdims=True)                  # (1, 32)
-            nr128 = jnp.concatenate(
-                [nr, jnp.zeros((1, 96), jnp.int32)], axis=1)
-            nb = jnp.where(iota8 == subs[lane], nr128, blocks[lane])
+            nr128 = jnp.concatenate([nr, nr, nr, nr], axis=1)  # (1, 128)
+            wmask = (iota8 == subs[lane]) & \
+                ((lane128 >> 5) == groups[lane])         # (8, 128)
+            nb = jnp.where(wmask, nr128, blocks[lane])
             states[lane, pl.ds(base, 8), :] = nb.astype(jnp.int8)
 
         outs = []
@@ -175,7 +185,9 @@ def rc_encode_pallas(ctx, diff, active, states0, one_tab, zero_tab,
     unpacked from bit 20.  states0 must be uint8 (L, CC, 32).
     """
     L, N = ctx.shape
-    CC = -(-states0.shape[1] // 8) * 8   # pad to sublane granularity
+    CC_real = states0.shape[1]
+    NB = -(-CC_real // 32)               # 32 context rows per (8,128) tile
+    CC = NB * 8                          # scratch sublane count
     order = chain_order(bits)
     S = len(order)
     assert N % chunk == 0
@@ -214,8 +226,12 @@ def rc_encode_pallas(ctx, diff, active, states0, one_tab, zero_tab,
             pltpu.VMEM((1, L), jnp.int32),              # range
         ],
     )
-    states0_pad = jnp.zeros((L, CC, 128), jnp.int8).at[
-        :, :states0.shape[1], :32].set(states0.astype(jnp.int8))
+    # pack rows: row c -> [tile c>>5 (8 sublanes), sublane (c>>2)&7,
+    # lanes (c&3)*32:(c&3)*32+32]
+    s0 = jnp.pad(states0.astype(jnp.int8),
+                 ((0, 0), (0, NB * 32 - CC_real), (0, 0)))
+    s0 = s0.reshape(L, NB, 8, 4, 32)      # c%32 = sub*4 + group
+    states0_pad = s0.reshape(L, NB * 8, 128)
     res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -233,5 +249,6 @@ def rc_encode_pallas(ctx, diff, active, states0, one_tab, zero_tab,
     valid = (prov >> 20) & 1
     prov_out = jnp.moveaxis(prov & 0x1FFFF, 2, 1)       # (N, L, S)
     valid_out = jnp.moveaxis(valid, 2, 1).astype(bool)
-    states_u8 = states_out[:, :states0.shape[1], :32].astype(jnp.uint8)
+    so = states_out.reshape(L, NB, 8, 4, 32)
+    states_u8 = so.reshape(L, NB * 32, 32)[:, :CC_real, :].astype(jnp.uint8)
     return prov_out, valid_out, low[0], rng[0], states_u8
