@@ -13,6 +13,7 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -115,6 +116,8 @@ def run(argv=None):
             sys.exit(f"error: {e}")
     if not args.output:
         sys.exit("error: output path required")
+    if not os.path.exists(args.input):
+        sys.exit(f"error: no such file: {args.input}")
 
     t0 = time.time()
     npix = 0
