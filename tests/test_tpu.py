@@ -93,3 +93,56 @@ def test_tpu_batch_streams_byte_exact():
             sp, sk = specs[b].encode_frame(streams[b][t])
             tp, tk = results[b]
             assert sk == tk and sp == tp, f"stream {b} frame {t}"
+
+
+def test_finalize_packed_matches_finalize_lanes():
+    """The resolve-then-compact finalize (invalid slots as neutral carry
+    propagators + single key|byte sort) must produce the same bytes as
+    the compact-then-resolve reference formulation, including overflow
+    pixels (> 4 emissions) via the full-width variant."""
+    import jax.numpy as jnp
+    from tpu_ffv1.tpu.rc_scan_lanes import (
+        finalize_lanes, finalize_packed, finalize_packed_full)
+
+    rng = np.random.RandomState(11)
+    Npix, L, S = 64, 5, 13
+    for trial in range(6):
+        valid = rng.rand(Npix, L, S) < (0.25 if trial % 2 else 0.6)
+        if trial < 2:
+            # sparse trials: <= 4 emissions per pixel so the compacted
+            # (non-overflow) path is the one being compared
+            keep = np.cumsum(valid, axis=2) <= 4
+            valid = valid & keep
+        prov = rng.randint(0, 1 << 17, (Npix, L, S)).astype(np.int32)
+        # force long 0xFF propagator runs to stress the carry chain
+        ffmask = rng.rand(Npix, L, S) < 0.3
+        prov = np.where(ffmask, (prov & ~0x1FF) | 0xFF | (1 << 16), prov)
+        low = rng.randint(0, 1 << 16, L).astype(np.int32) << 8
+        rg = rng.randint(0x100, 0xFF00, L).astype(np.int32)
+        pcap = 8
+        plen = rng.randint(1, pcap, L).astype(np.int32)
+        prefix = rng.randint(0, 1 << 17, (L, pcap)).astype(np.int32)
+
+        o1, c1 = finalize_lanes(jnp.asarray(prov),
+                                jnp.asarray(valid), jnp.asarray(low),
+                                jnp.asarray(rg), jnp.asarray(prefix),
+                                jnp.asarray(plen))
+        packed = jnp.moveaxis(
+            jnp.asarray(prov) +
+            (jnp.asarray(valid).astype(jnp.int32) << 20), 1, 2)
+        o2, c2, ovf = finalize_packed(packed, jnp.asarray(low),
+                                      jnp.asarray(rg),
+                                      jnp.asarray(prefix),
+                                      jnp.asarray(plen))
+        if bool(ovf):
+            o2, c2 = finalize_packed_full(packed, jnp.asarray(low),
+                                          jnp.asarray(rg),
+                                          jnp.asarray(prefix),
+                                          jnp.asarray(plen))
+        assert bool(ovf) == (trial >= 2)  # both paths must be exercised
+        c1n, c2n = np.asarray(c1), np.asarray(c2)
+        assert (c1n == c2n).all()
+        o1n, o2n = np.asarray(o1), np.asarray(o2)
+        for li in range(L):
+            assert (o1n[li, :c1n[li]] == o2n[li, :c2n[li]]).all(), \
+                f"trial {trial} lane {li}"

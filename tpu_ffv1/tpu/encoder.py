@@ -6,7 +6,8 @@ Pipeline per frame (range-coder versions):
           lane-major adaptive range-coder scan — all slices of the frame
           (and optionally a batch of independent streams) advance together
           as vector lanes (rc_scan_lanes.py)
-          sentinel/terminate/compaction/carry-resolve (finalize_lanes)
+          sentinel/terminate/carry-resolve/compaction (finalize_packed:
+          resolve over the uncompacted stream, then one key|byte sort)
   host:   footer chain + per-slice CRC + packet concat
 
 Adaptive states live on device across frames (GOP context carry-over,
@@ -34,8 +35,9 @@ from ..codec.context import slice_grid
 from ..codec.params import EncoderParams, resolve
 from .residual import load_plane, residuals_and_contexts
 from .rc_scan import finalize_slice, rc_encode_scan
-from .rc_scan_lanes import finalize_lanes, rc_encode_scan_lanes_unrolled
-from .rc_pallas import rc_encode_pallas
+from .rc_scan_lanes import (finalize_packed, finalize_packed_full,
+                            rc_encode_scan_lanes_unrolled)
+from .rc_pallas import rc_encode_pallas_packed
 
 PREFIX_CAP = 96
 
@@ -197,7 +199,7 @@ class TPUFFV1Encoder:
         acts = jnp.asarray(acts_np)
 
         if self.use_pallas:
-            prov, valid, low, rng, states_out = rc_encode_pallas(
+            packed, low, rng, states_out = rc_encode_pallas_packed(
                 ctxs, diffs, acts, states0, self.one_tab, self.zero_tab,
                 lows, ranges, self.bits, self.pallas_chunk)
         else:
@@ -205,23 +207,18 @@ class TPUFFV1Encoder:
                 rc_encode_scan_lanes_unrolled(
                     ctxs, diffs, acts, states0, self.one_tab,
                     self.zero_tab, lows, ranges, self.bits, self.unroll)
-        # pre-compact each pixel's emission slots: >99.99% of pixels emit
-        # <= 4 bytes, and the final compaction sort cost scales with the
-        # slot count.  overflow (a pixel emitting more) falls back to the
-        # full-width path (host checks the returned flag).
-        S2 = 4
-        key = jnp.where(valid,
-                        jnp.arange(prov.shape[2], dtype=jnp.int32)[None,
-                                                                   None, :],
-                        jnp.int32(1 << 20))
-        _, prov_s, valid_s = jax.lax.sort(
-            (key, prov, valid.astype(jnp.int32)), dimension=2, num_keys=1)
-        overflow = jnp.max(jnp.sum(valid, axis=2)) > S2
-        out, counts = finalize_lanes(prov_s[:, :, :S2],
-                                     valid_s[:, :, :S2].astype(bool),
-                                     low, rng, prefixes, plens)
+            packed = jnp.moveaxis(
+                prov + (valid.astype(jnp.int32) << 20), 1, 2)
+        # carry resolution runs over the uncompacted slot stream
+        # (invalid slots are neutral propagators), per-pixel slot
+        # compaction is masked reductions, and the final compaction is a
+        # single-operand key|byte sort — see finalize_packed.  Overflow
+        # (a pixel emitted > 4 bytes, <1e-4 of pixels) falls back to the
+        # full-width variant (host checks the returned flag).
+        out, counts, overflow = finalize_packed(packed, low, rng,
+                                                prefixes, plens)
         return out[:, :self.out_cap], counts, states_out, overflow, \
-            prov, valid, low, rng
+            packed, low, rng
 
     def _assemble(self, payloads):
         rp = self.rp
@@ -269,7 +266,7 @@ class TPUFFV1Encoder:
             self.states
 
         if self.fast:
-            (out, counts, states_out, overflow, prov, valid, low,
+            (out, counts, states_out, overflow, packed, low,
              rng) = self._frame_fn(
                 streams, states0, jnp.asarray(lows),
                 jnp.asarray(ranges), jnp.asarray(prefixes),
@@ -277,9 +274,9 @@ class TPUFFV1Encoder:
             if bool(overflow):
                 # rare: some pixel emitted > 4 bytes; redo the compaction
                 # at full slot width
-                out, counts = finalize_lanes(prov, valid, low, rng,
-                                             jnp.asarray(prefixes),
-                                             jnp.asarray(plens))
+                out, counts = finalize_packed_full(packed, low, rng,
+                                                   jnp.asarray(prefixes),
+                                                   jnp.asarray(plens))
                 out = out[:, :self.out_cap]
             self.states = states_out
             counts_np = np.asarray(counts)

@@ -55,14 +55,24 @@ def _kernel(bits, L, CC, CH, S, order,
         rngv[...] = rng0_ref[...]
 
     pos32 = jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1)
+    posT = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
     iota256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    # transpose-by-matmul basis: Mosaic has no general 2-D transpose, but
+    # rowsT = I32 @ rows^T is one tiny MXU op (values <= 255, exact in
+    # bf16/f32)
+    eye32 = (jax.lax.broadcasted_iota(jnp.int32, (32, 32), 0) ==
+             jax.lax.broadcasted_iota(jnp.int32, (32, 32), 1)) \
+        .astype(jnp.bfloat16)
 
     def pixel(i, _):
-        # everything stays 2-D (L, 1) columns: Mosaic layout inference is
-        # brittle around 1-D intermediates
-        low = jnp.transpose(lowv[pl.ds(0, 1), :])              # (L, 1)
-        rng = jnp.transpose(rngv[pl.ds(0, 1), :])              # (L, 1)
-        v = jnp.transpose(diff_ref[pl.ds(i, 1), :])            # (L, 1)
+        # coder state and the low/range chain run on (1, L) ROW vectors:
+        # one (8, 128) tile per op, instead of (L, 1) columns spread over
+        # L/8 mostly-empty sublane tiles (~12x VPU occupancy for L=96)
+        low = lowv[pl.ds(0, 1), :]                             # (1, L)
+        rng = rngv[pl.ds(0, 1), :]
+        vR = diff_ref[pl.ds(i, 1), :]                          # (1, L)
+        apxR = act_ref[pl.ds(i, 1), :]                         # (1, L)
+        v = jnp.transpose(vR)                                  # (L, 1)
 
         # Packed state layout: each (8, 128) tile holds 32 context rows
         # (8 sublanes x 4 lane-groups of 32).  Row c lives at tile c>>5,
@@ -98,7 +108,7 @@ def _kernel(bits, L, CC, CH, S, order,
         aL = a
         eL = e
         nzL = vL != 0
-        apxL = jnp.transpose(act_ref[pl.ds(i, 1), :]) != 0
+        apxL = jnp.transpose(apxR) != 0
         is_exp = (pos32 >= 1) & (pos32 <= 10)
         is_man = pos32 >= 22
         act32 = ((pos32 == 0) |
@@ -143,11 +153,32 @@ def _kernel(bits, L, CC, CH, S, order,
             nb = jnp.where(wmask, nr128, blocks[lane])
             states[lane, pl.ds(base, 8), :] = nb.astype(jnp.int8)
 
+        # chain-side masks and state values in (32, L) row orientation
+        aR = jnp.transpose(a)                      # (1, L)
+        eR = jnp.transpose(e)
+        nzR = vR != 0
+        is_expT = (posT >= 1) & (posT <= 10)
+        is_manT = posT >= 22
+        actT = ((posT == 0) |
+                (is_expT & nzR & (posT - 1 <= eR)) |
+                ((posT >= 11) & (posT <= 21) & nzR &
+                 (posT == 11 + eR)) |
+                (is_manT & nzR & (posT - 22 < eR))) & (apxR != 0)
+        bitT = jnp.where(
+            posT == 0, (~nzR).astype(jnp.int32),
+            jnp.where(is_expT, (posT - 1 < eR).astype(jnp.int32),
+                      jnp.where(is_manT,
+                                (aR >> jnp.clip(posT - 22, 0, 30)) & 1,
+                                (vR < 0).astype(jnp.int32))))
+        rowsT = jax.lax.dot_general(
+            eye32, rows.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+
         outs = []
         for p in order:
-            aj = act32[:, p:p + 1]                 # (L, 1)
-            s = rows[:, p:p + 1]
-            b = bit32[:, p:p + 1]
+            aj = actT[p:p + 1, :]                  # (1, L)
+            s = rowsT[p:p + 1, :]
+            b = bitT[p:p + 1, :]
             r1 = (rng * s) >> 8
             nr = jnp.where(b == 1, r1, rng - r1)
             nl = low + jnp.where(b == 1, rng - r1, 0)
@@ -161,10 +192,9 @@ def _kernel(bits, L, CC, CH, S, order,
             low = jnp.where(aj, nl, low)
             rng = jnp.where(aj, nr, rng)
 
-        prov_ref[i, :, :] = jnp.transpose(
-            jnp.concatenate(outs, 1))              # (S, L)
-        lowv[pl.ds(0, 1), :] = jnp.transpose(low)
-        rngv[pl.ds(0, 1), :] = jnp.transpose(rng)
+        prov_ref[i, :, :] = jnp.concatenate(outs, 0)   # (S, L)
+        lowv[pl.ds(0, 1), :] = low
+        rngv[pl.ds(0, 1), :] = rng
         return 0
 
     jax.lax.fori_loop(0, CH, pixel, 0)
@@ -177,12 +207,15 @@ def _kernel(bits, L, CC, CH, S, order,
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "chunk"))
-def rc_encode_pallas(ctx, diff, active, states0, one_tab, zero_tab,
-                     low0, range0, bits: int, chunk: int = 512):
-    """Pallas-backed replacement for rc_encode_scan_lanes.
+def rc_encode_pallas_packed(ctx, diff, active, states0, one_tab, zero_tab,
+                            low0, range0, bits: int, chunk: int = 512):
+    """Pallas lane-major range-coder scan, raw output form.
 
-    Same contract; prov/valid are returned as (N, L, S) with valid
-    unpacked from bit 20.  states0 must be uint8 (L, CC, 32).
+    Returns (packed int32[N, S, L], low[L], range[L], states uint8)
+    with the emit flag in bit 20 and the provisional value in bits
+    0..16 — the layout the kernel writes, with no unpack/transpose
+    passes over the (N, S, L) array (finalize_packed consumes it
+    directly).  states0 must be uint8 (L, CC, 32).
     """
     L, N = ctx.shape
     CC_real = states0.shape[1]
@@ -246,9 +279,22 @@ def rc_encode_pallas(ctx, diff, active, states0, one_tab, zero_tab,
       low0[None, :].astype(jnp.int32), range0[None, :].astype(jnp.int32))
     prov, low, rng, states_out = res
 
+    so = states_out.reshape(L, NB, 8, 4, 32)
+    states_u8 = so.reshape(L, NB * 32, 32)[:, :CC_real, :].astype(jnp.uint8)
+    return prov, low[0], rng[0], states_u8
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "chunk"))
+def rc_encode_pallas(ctx, diff, active, states0, one_tab, zero_tab,
+                     low0, range0, bits: int, chunk: int = 512):
+    """rc_encode_scan_lanes-compatible wrapper: prov/valid unpacked to
+    (N, L, S).  Prefer rc_encode_pallas_packed + finalize_packed in the
+    production pipeline (skips two full passes over the (N, S, L)
+    emission array)."""
+    prov, low, rng, states_u8 = rc_encode_pallas_packed(
+        ctx, diff, active, states0, one_tab, zero_tab, low0, range0,
+        bits, chunk)
     valid = (prov >> 20) & 1
     prov_out = jnp.moveaxis(prov & 0x1FFFF, 2, 1)       # (N, L, S)
     valid_out = jnp.moveaxis(valid, 2, 1).astype(bool)
-    so = states_out.reshape(L, NB, 8, 4, 32)
-    states_u8 = so.reshape(L, NB * 32, 32)[:, :CC_real, :].astype(jnp.uint8)
-    return prov_out, valid_out, low[0], rng[0], states_u8
+    return prov_out, valid_out, low, rng, states_u8

@@ -316,3 +316,115 @@ def finalize_lanes(prov, valid, low, rng, prefix, prefix_len):
     resolved = ((vals & 0x1FF) + carry_in) & 0xFF
     out = jnp.where(in_range, resolved, 0).astype(jnp.uint8)
     return out, total - 1
+
+
+def _resolve_compact(flat_b, flat_v, low, rng, prefix, prefix_len):
+    """Resolve-then-compact finalize: carry resolution runs over the
+    UNCOMPACTED slot stream (invalid slots are neutral carry
+    propagators: g=0, p=1, so a carry passes through them unchanged),
+    after which compaction only has to move resolved uint8 bytes.  The
+    key and byte share one int32 word, so the sort is a single-operand
+    lax.sort instead of the 3-operand variadic sort finalize_lanes
+    needs — ~3x less data through the sort network, and no separate
+    pre-compaction pass.
+
+    flat_b: int32[L, M] provisional values (prov_value format, bits
+    0..16); flat_v: bool[L, M] slot validity, in stream order per lane.
+    """
+    L, M = flat_b.shape
+    pcap = prefix.shape[1]
+
+    def _pv(lw):
+        return (lw >> 8) | jnp.where((lw & 0xFF) != 0, 1 << 16, 0)
+
+    # sentinel + terminate bytes (ffv1enc.c encode_slice tail: one
+    # range-coded 0 then ff_rac_terminate), appended after the data
+    r1 = (rng * 129) >> 8
+    rng2 = rng - r1
+    s_emit = rng2 < 0x100
+    pv0 = _pv(low)
+    low2 = jnp.where(s_emit, (low & 0xFF) << 8, low)
+    t1 = _pv(low2 + 0xFF)
+    t2 = (low2 + 0xFF) & 0xFF
+    ones = jnp.ones((L,), bool)
+    tail_b = jnp.stack([jnp.where(s_emit, pv0, t1),
+                        jnp.where(s_emit, t1, t2),
+                        jnp.where(s_emit, t2, 0)], axis=1)   # (L, 3)
+    tail_v = jnp.stack([ones, ones, s_emit], axis=1)
+
+    pvld = jnp.arange(pcap, dtype=jnp.int32)[None, :] < prefix_len[:, None]
+    vals = jnp.concatenate([prefix, flat_b, tail_b], axis=1)  # (L, T)
+    vld = jnp.concatenate([pvld, flat_v, tail_v], axis=1)
+    T = vals.shape[1]
+
+    g = ((vals >> 8) & 1) * vld.astype(jnp.int32)
+    p = jnp.where(vld,
+                  ((vals & 0x1FF) == 0xFF) & ((vals >> 16) == 1),
+                  True).astype(jnp.int32)
+    gr = g[:, ::-1]
+    pr = p[:, ::-1]
+    brk = jnp.cumsum(1 - pr, axis=1)
+    m = jax.lax.cummax(gr + 2 * brk, axis=1)
+    carry_out = ((m - 2 * brk) >= 1)[:, ::-1].astype(jnp.int32)
+    carry_in = jnp.concatenate(
+        [carry_out[:, 1:], jnp.zeros((L, 1), jnp.int32)], axis=1)
+    resolved = ((vals & 0x1FF) + carry_in) & 0xFF
+
+    rank = jnp.cumsum(vld.astype(jnp.int32), axis=1) - 1
+    key = jnp.where(vld, rank, T) * 256 + resolved
+    skey = jax.lax.sort(key, dimension=1)
+    out = (skey & 0xFF).astype(jnp.uint8)
+    total = prefix_len + jnp.sum(flat_v, axis=1) + 2 + s_emit
+    return out, total - 1
+
+
+@jax.jit
+def finalize_lanes_resolve(prov, valid, low, rng, prefix, prefix_len):
+    """finalize_lanes-compatible entry ((N, L, S) unpacked inputs)
+    routed through the resolve-then-compact path."""
+    N, L, S = prov.shape
+    flat_b = jnp.moveaxis(prov, 1, 0).reshape(L, N * S)
+    flat_v = jnp.moveaxis(valid, 1, 0).reshape(L, N * S)
+    return _resolve_compact(flat_b, flat_v, low, rng, prefix, prefix_len)
+
+
+@jax.jit
+def finalize_packed(packed, low, rng, prefix, prefix_len):
+    """Finalize from the raw Pallas kernel output.
+
+    packed: int32[N, S, L] with bit 20 = emit flag and bits 0..16 the
+    provisional value.  Per-pixel slot compaction to S2 slots is done
+    with masked reductions (fused by XLA into one pass over the array)
+    instead of a sort; returns (bytes uint8[L, T], count int32[L],
+    overflow bool[]) — on overflow (a pixel emitted > S2 bytes, <1e-4
+    of pixels) the caller must take the full-width path.
+    """
+    S2 = 4
+    N, S, L = packed.shape
+    valid = (packed >> 20) & 1
+    pv = packed & 0x1FFFF
+    cnt_inc = jnp.cumsum(valid, axis=1)
+    cnt_exc = cnt_inc - valid
+    total_pix = cnt_inc[:, -1, :]                         # (N, L)
+    overflow = jnp.max(total_pix) > S2
+    slots = jnp.stack(
+        [jnp.sum(pv * valid * (cnt_exc == k), axis=1) for k in range(S2)],
+        axis=1)                                           # (N, S2, L)
+    vld = (jnp.arange(S2, dtype=jnp.int32)[None, :, None]
+           < total_pix[:, None, :])
+    flat_b = jnp.transpose(slots, (2, 0, 1)).reshape(L, N * S2)
+    flat_v = jnp.transpose(vld, (2, 0, 1)).reshape(L, N * S2)
+    out, count = _resolve_compact(flat_b, flat_v, low, rng,
+                                  prefix, prefix_len)
+    return out, count, overflow
+
+
+@jax.jit
+def finalize_packed_full(packed, low, rng, prefix, prefix_len):
+    """Full-width (no per-pixel compaction) fallback for finalize_packed
+    overflow: feeds all S slots straight into the resolve+compact."""
+    N, S, L = packed.shape
+    flat_b = jnp.transpose(packed & 0x1FFFF, (2, 0, 1)).reshape(L, N * S)
+    flat_v = jnp.transpose((packed >> 20) & 1,
+                           (2, 0, 1)).reshape(L, N * S).astype(bool)
+    return _resolve_compact(flat_b, flat_v, low, rng, prefix, prefix_len)
