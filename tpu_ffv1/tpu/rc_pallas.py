@@ -87,11 +87,11 @@ def _kernel(bits, L, CC, CH, S, order,
         for lane in range(L):
             ci = ctx_ref[i, lane]
             base = pl.multiple_of((ci >> 5) * 8, 8)
-            block = states[lane, pl.ds(base, 8), :].astype(jnp.int32) & 0xFF
+            block = states[lane, pl.ds(base, 8), :]       # (8, 128) int8
             sub = (ci >> 2) & 7
             group = ci & 3
             rowfull = jnp.sum(jnp.where(iota8 == sub, block, 0), axis=0,
-                              keepdims=True)       # (1, 128)
+                              keepdims=True)       # (1, 128) int8
             # rotate the selected 32-lane group to the front (dynamic
             # lane rotate; lane reshapes/offset slices are unsupported)
             rolled = pltpu.roll(rowfull, -group * 32, 1)
@@ -99,7 +99,7 @@ def _kernel(bits, L, CC, CH, S, order,
             blocks.append(block)
             subs.append(sub)
             groups.append(group)
-        rows = jnp.concatenate(row_list, 0)       # (L, 32)
+        rows8 = jnp.concatenate(row_list, 0)      # (L, 32) int8 (wrapped)
 
         a = jnp.abs(v)
         e = 31 - jax.lax.clz(jnp.maximum(a, 1).astype(jnp.uint32)) \
@@ -123,8 +123,9 @@ def _kernel(bits, L, CC, CH, S, order,
                                 (aL >> jnp.clip(pos32 - 22, 0, 30)) & 1,
                                 (vL < 0).astype(jnp.int32))))
 
-        onehot = (rows[..., None] == iota256.reshape(1, 1, 256)) \
-            .astype(jnp.int8).reshape(L * 32, 256)
+        onehot = (rows8[..., None] == iota256.astype(jnp.int8)
+                  .reshape(1, 1, 256)).astype(jnp.int8) \
+            .reshape(L * 32, 256)
         # two separate contractions against separate (256, 1) tables:
         # any minor-dim offset slice (t01[..., 1] / tboth[:, 1:2])
         # crashes Mosaic's VectorLayoutInferer
@@ -134,24 +135,31 @@ def _kernel(bits, L, CC, CH, S, order,
         t1 = jax.lax.dot_general(
             onehot, t1_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32).reshape(L, 32)
-        new_rows = jnp.where(act32,
-                             jnp.where(bit32 == 1, t1, t0) & 0xFF,
-                             rows)
+        new_rows8 = jnp.where(act32,
+                              jnp.where(bit32 == 1, t1, t0)
+                              .astype(jnp.int8),
+                              rows8)
 
-        ilane = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        if L % 8:
+            new_rows8 = jnp.concatenate(
+                [new_rows8, jnp.zeros((8 - L % 8, 32), jnp.int8)], axis=0)
         for lane in range(L):
             ci = ctx_ref[i, lane]
             base = pl.multiple_of((ci >> 5) * 8, 8)
-            # extract the lane's row via a reduction (slices with row
-            # offsets trip Mosaic layout inference in concat/store)
-            nr = jnp.sum(jnp.where(ilane == lane, new_rows, 0), axis=0,
-                         keepdims=True)                  # (1, 32)
+            # lane's row from new_rows: 8-aligned STATIC slice (vreg
+            # pick, free) + constant-mask sublane select — row-offset
+            # (non-aligned) slices trip Mosaic layout inference, and a
+            # full (L, 32) masked reduction costs ~L/8 tile-ops per lane
+            b8 = (lane // 8) * 8
+            nr = jnp.sum(jnp.where(iota8 == (lane % 8),
+                                   new_rows8[b8:b8 + 8, :], 0),
+                         axis=0, keepdims=True)          # (1, 32) int8
             nr128 = jnp.concatenate([nr, nr, nr, nr], axis=1)  # (1, 128)
             wmask = (iota8 == subs[lane]) & \
                 ((lane128 >> 5) == groups[lane])         # (8, 128)
             nb = jnp.where(wmask, nr128, blocks[lane])
-            states[lane, pl.ds(base, 8), :] = nb.astype(jnp.int8)
+            states[lane, pl.ds(base, 8), :] = nb
 
         # chain-side masks and state values in (32, L) row orientation
         aR = jnp.transpose(a)                      # (1, L)
@@ -171,8 +179,8 @@ def _kernel(bits, L, CC, CH, S, order,
                                 (aR >> jnp.clip(posT - 22, 0, 30)) & 1,
                                 (vR < 0).astype(jnp.int32))))
         rowsT = jax.lax.dot_general(
-            eye32, rows.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
+            eye32, rows8.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32) & 0xFF
 
         outs = []
         for p in order:
