@@ -45,3 +45,42 @@ def test_pallas_kernel_matches_xla_interpret():
     assert np.array_equal(np.asarray(l0), np.asarray(l1))
     assert np.array_equal(np.asarray(r0), np.asarray(r1))
     assert np.array_equal(np.asarray(S0), np.asarray(S1))
+
+
+def test_pallas_compact_matches_xla_interpret():
+    """In-kernel per-pixel compaction: cm[N, 8, L] finalized bytes must
+    match the XLA scan + finalize_packed pipeline exactly."""
+    from tpu_ffv1.tpu.rc_pallas import rc_encode_pallas_compact
+    from tpu_ffv1.tpu.rc_scan_lanes import finalize_compact, finalize_packed
+
+    CC = T.CONTEXT_COUNTS[0]
+    one, zero = default_state_tables()
+    one_t, zero_t = jnp.asarray(one), jnp.asarray(zero)
+    rng0 = np.random.RandomState(7)
+    L, N = 3, 512
+    ctx = jnp.asarray(rng0.randint(0, CC, (L, N)), jnp.int32)
+    diff = jnp.asarray(rng0.randint(-120, 120, (L, N)), jnp.int32)
+    act = jnp.asarray(rng0.rand(L, N) < 0.9)
+    states = jnp.full((L, CC, 32), 128, jnp.uint8)
+    lows = jnp.zeros(L, jnp.int32)
+    ranges = jnp.full(L, 0xFF00, jnp.int32)
+    prefix = jnp.zeros((L, 8), jnp.int32)
+    plen = jnp.zeros(L, jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        cm, l1, r1, S1 = rc_encode_pallas_compact(
+            ctx, diff, act, states, one_t, zero_t, lows, ranges, 8, 128)
+    out1, cnt1, ovf1 = finalize_compact(cm, l1, r1, prefix, plen)
+
+    p0, v0, l0, r0, S0 = rc_encode_scan_lanes(
+        ctx, diff, act, states, one_t, zero_t, lows, ranges, 8)
+    packed = jnp.moveaxis(p0 + (v0.astype(jnp.int32) << 20), 1, 2)
+    out0, cnt0, ovf0 = finalize_packed(packed, l0, r0, prefix, plen)
+
+    assert not bool(ovf0) and not bool(ovf1)
+    assert np.array_equal(np.asarray(cnt0), np.asarray(cnt1))
+    c = np.asarray(cnt0)
+    for lane in range(L):
+        assert np.array_equal(np.asarray(out0)[lane, :c[lane]],
+                              np.asarray(out1)[lane, :c[lane]]), f"lane {lane}"
+    assert np.array_equal(np.asarray(S0), np.asarray(S1))

@@ -146,3 +146,28 @@ def test_finalize_packed_matches_finalize_lanes():
         for li in range(L):
             assert (o1n[li, :c1n[li]] == o2n[li, :c2n[li]]).all(), \
                 f"trial {trial} lane {li}"
+
+
+def test_tpu_pipelined_submit_collect_byte_exact():
+    """Depth-2 submit/collect pipelining must produce the same bytes as
+    sequential encode_frames (device context chain is unaffected by the
+    overlap), including across a GOP boundary."""
+    frames = _frames(8, seed=31)
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv420p", level=3,
+                           coder=2, slices=4, gop_size=2)
+    seq = TPUFFV1Encoder(params)
+    pipe = TPUFFV1Encoder(params)
+    want = [seq.encode_frame(f) for f in frames]
+
+    got = []
+    pipe.submit_frames([frames[0]])
+    pipe.submit_frames([frames[1]])
+    for k in range(2, len(frames)):
+        got.append(pipe.collect_frames()[0])
+        pipe.submit_frames([frames[k]])
+    got.append(pipe.collect_frames()[0])
+    got.append(pipe.collect_frames()[0])
+
+    assert len(got) == len(want)
+    for t, ((wp, wk), (gp, gk)) in enumerate(zip(want, got)):
+        assert wk == gk and wp == gp, f"frame {t}"

@@ -35,9 +35,10 @@ from ..codec.context import slice_grid
 from ..codec.params import EncoderParams, resolve
 from .residual import load_plane, residuals_and_contexts
 from .rc_scan import finalize_slice, rc_encode_scan
-from .rc_scan_lanes import (finalize_packed, finalize_packed_full,
+from .rc_scan_lanes import (finalize_compact, finalize_packed,
+                            finalize_packed_full,
                             rc_encode_scan_lanes_unrolled)
-from .rc_pallas import rc_encode_pallas_packed
+from .rc_pallas import rc_encode_pallas_compact, rc_encode_pallas_packed
 
 PREFIX_CAP = 96
 
@@ -95,6 +96,12 @@ class TPUFFV1Encoder:
         self.states = jnp.full((self.L, self.total_cc, 32), 128,
                                dtype=jnp.uint8)
         self.picture_number = 0
+        self._pending = []      # FIFO of in-flight submit_frames records
+        # single worker => submits execute in order (the device context
+        # chain requires it); the thread exists so that blocking
+        # dispatch (remote backends) overlaps with host drain work
+        from concurrent.futures import ThreadPoolExecutor
+        self._executor = ThreadPoolExecutor(max_workers=1)
         # stream length per slice (static per geometry); padded to the
         # scan unroll factor (padding lanes are exact no-ops).
         # U=2 measured best on v5e (fixed per-step costs halve; larger U
@@ -105,6 +112,9 @@ class TPUFFV1Encoder:
         import jax as _jax
         self.use_pallas = (self.fast and
                            _jax.devices()[0].platform != "cpu")
+        import os as _os
+        self.pallas_compact = bool(int(
+            _os.environ.get("FFV1_PALLAS_COMPACT", "0")))
         # per-chunk VMEM windows scale with lane count; keep them
         # bounded and 8-divisible (Pallas block-shape requirement)
         self.pallas_chunk = max(48, (216 // batch) // 8 * 8)
@@ -116,7 +126,9 @@ class TPUFFV1Encoder:
         self.out_cap = self.n_max * 3 + 4096
         # whole-frame fused pipeline (one dispatch per frame — critical
         # under remote/eager backends where each op is a round trip)
-        self._frame_fn = jax.jit(self._frame_pipeline) if self.fast else None
+        self._frame_fn = (jax.jit(self._frame_pipeline,
+                                  static_argnames=("use_pallas",))
+                          if self.fast else None)
 
     # -----------------------------------------------------------------
 
@@ -179,7 +191,7 @@ class TPUFFV1Encoder:
     # -----------------------------------------------------------------
 
     def _frame_pipeline(self, streams, states0, lows, ranges, prefixes,
-                        plens):
+                        plens, use_pallas=True):
         """Fused device pipeline: stencil -> lane scan -> finalize.
 
         ``streams``: tuple of per-stream plane tuples (len == batch).
@@ -198,10 +210,29 @@ class TPUFFV1Encoder:
                 acts_np[lane, :n] = True
         acts = jnp.asarray(acts_np)
 
-        if self.use_pallas:
+        # carry resolution runs over the uncompacted slot stream
+        # (invalid slots are neutral propagators), per-pixel slot
+        # compaction happens in-kernel (Pallas) or via masked reductions
+        # (XLA scan), and the final compaction is a single-operand
+        # key|byte sort — see finalize_compact/finalize_packed.
+        # Overflow (a pixel emitted > 4 bytes; unobserved even on
+        # full-range noise) makes the host redo the frame full-width.
+        if self.use_pallas and use_pallas and self.pallas_compact:
+            # measured SLOWER than the raw form on v5e (the per-pixel
+            # compaction block outweighs the HBM/finalize savings);
+            # kept behind FFV1_PALLAS_COMPACT=1 as a reference point
+            cm, low, rng, states_out = rc_encode_pallas_compact(
+                ctxs, diffs, acts, states0, self.one_tab, self.zero_tab,
+                lows, ranges, self.bits, self.pallas_chunk)
+            out, counts, overflow = finalize_compact(cm, low, rng,
+                                                     prefixes, plens)
+            packed = cm      # placeholder (overflow re-runs on XLA path)
+        elif self.use_pallas and use_pallas:
             packed, low, rng, states_out = rc_encode_pallas_packed(
                 ctxs, diffs, acts, states0, self.one_tab, self.zero_tab,
                 lows, ranges, self.bits, self.pallas_chunk)
+            out, counts, overflow = finalize_packed(packed, low, rng,
+                                                    prefixes, plens)
         else:
             prov, valid, low, rng, states_out = \
                 rc_encode_scan_lanes_unrolled(
@@ -209,14 +240,8 @@ class TPUFFV1Encoder:
                     self.zero_tab, lows, ranges, self.bits, self.unroll)
             packed = jnp.moveaxis(
                 prov + (valid.astype(jnp.int32) << 20), 1, 2)
-        # carry resolution runs over the uncompacted slot stream
-        # (invalid slots are neutral propagators), per-pixel slot
-        # compaction is masked reductions, and the final compaction is a
-        # single-operand key|byte sort — see finalize_packed.  Overflow
-        # (a pixel emitted > 4 bytes, <1e-4 of pixels) falls back to the
-        # full-width variant (host checks the returned flag).
-        out, counts, overflow = finalize_packed(packed, low, rng,
-                                                prefixes, plens)
+            out, counts, overflow = finalize_packed(packed, low, rng,
+                                                    prefixes, plens)
         return out[:, :self.out_cap], counts, states_out, overflow, \
             packed, low, rng
 
@@ -240,10 +265,25 @@ class TPUFFV1Encoder:
     def encode_frames(self, streams):
         """Encode one frame from each of ``batch`` independent streams;
         returns a list of (packet, keyframe) per stream."""
+        self.submit_frames(streams)
+        return self.collect_frames()
+
+    def submit_frames(self, streams):
+        """Async half of encode_frames: upload the planes and dispatch
+        the fused device pipeline without waiting for it.  Pair each
+        submit with a later collect_frames(); one frame may be in
+        flight while the host assembles the previous one (the device
+        context chain for P-frames stays on-device, so GOP semantics
+        are unaffected by the overlap).  Mirrors the reference's frame
+        pipeline (pthread_frame.c submit_packet/frame_worker_thread)
+        in the XLA async-dispatch idiom.  The upload + device dispatch
+        run on a dedicated worker thread: remote backends (axon) block
+        the dispatching thread for the whole step, which would otherwise
+        defeat the overlap."""
         rp = self.rp
         assert len(streams) == self.batch
-        streams = tuple(
-            tuple(jnp.asarray(np.asarray(p))
+        streams_np = tuple(
+            tuple(np.asarray(p)
                   for p in (s if isinstance(s, (list, tuple)) else [s]))
             for s in streams)
         keyframe = (rp.gop_size == 0 or
@@ -262,23 +302,70 @@ class TPUFFV1Encoder:
                 prefixes[lane, :len(prov)] = prov
                 plens[lane] = len(prov)
 
+        if self.fast:
+            def work():
+                # runs on the single-worker executor: submits are
+                # processed strictly in order, so reading/advancing
+                # self.states here keeps the GOP context chain intact
+                streams = tuple(tuple(jnp.asarray(p) for p in s)
+                                for s in streams_np)
+                states0 = jnp.full_like(self.states, 128) if keyframe \
+                    else self.states
+                (out, counts, states_out, overflow, packed, low,
+                 rng) = self._frame_fn(
+                    streams, states0, jnp.asarray(lows),
+                    jnp.asarray(ranges), jnp.asarray(prefixes),
+                    jnp.asarray(plens))
+                self.states = states_out
+                return dict(
+                    out=out, counts=counts, overflow=overflow,
+                    packed=packed, low=low, rng=rng, keyframe=keyframe,
+                    streams=streams, states0=states0, lows=lows,
+                    ranges=ranges, prefixes=prefixes, plens=plens)
+
+            self._pending.append(self._executor.submit(work))
+            self.picture_number += 1
+            return
+
         states0 = jnp.full_like(self.states, 128) if keyframe else \
             self.states
+        payloads = self._encode_slow(streams_np, states0, lows, ranges,
+                                     prefixes, plens)
+        self._pending.append(dict(payloads=payloads, keyframe=keyframe))
+        self.picture_number += 1
 
-        if self.fast:
-            (out, counts, states_out, overflow, packed, low,
-             rng) = self._frame_fn(
-                streams, states0, jnp.asarray(lows),
-                jnp.asarray(ranges), jnp.asarray(prefixes),
-                jnp.asarray(plens))
-            if bool(overflow):
-                # rare: some pixel emitted > 4 bytes; redo the compaction
-                # at full slot width
-                out, counts = finalize_packed_full(packed, low, rng,
-                                                   jnp.asarray(prefixes),
-                                                   jnp.asarray(plens))
-                out = out[:, :self.out_cap]
-            self.states = states_out
+    def collect_frames(self):
+        """Sync half of encode_frames: wait for the in-flight device
+        pipeline, fetch the byte planes, and assemble packets."""
+        assert self._pending, "no submit_frames() in flight"
+        p = self._pending.pop(0)
+        if not isinstance(p, dict):
+            p = p.result()          # worker-thread future (fast path)
+        keyframe = p["keyframe"]
+        if "payloads" in p:
+            payloads = p["payloads"]
+        else:
+            out, counts = p["out"], p["counts"]
+            if bool(p["overflow"]):
+                # rare: some pixel emitted > 4 bytes.  The Pallas compact
+                # form has already dropped slots past the 4th, so redo the
+                # frame on the XLA scan path (raw slots retained) and
+                # finalize at full slot width.
+                packed, low, rng = p["packed"], p["low"], p["rng"]
+                if self.use_pallas and self.pallas_compact:
+                    (out, counts, states_out, ovf2, packed, low,
+                     rng) = self._frame_fn(
+                        p["streams"], p["states0"],
+                        jnp.asarray(p["lows"]), jnp.asarray(p["ranges"]),
+                        jnp.asarray(p["prefixes"]),
+                        jnp.asarray(p["plens"]), use_pallas=False)
+                else:
+                    ovf2 = p["overflow"]
+                if bool(ovf2):
+                    out, counts = finalize_packed_full(
+                        packed, low, rng, jnp.asarray(p["prefixes"]),
+                        jnp.asarray(p["plens"]))
+                    out = out[:, :self.out_cap]
             counts_np = np.asarray(counts)
             if counts_np.max() > self.out_cap:
                 raise RuntimeError("encoded slice exceeded output cap")
@@ -289,37 +376,40 @@ class TPUFFV1Encoder:
             out_np = np.asarray(out[:, :cap2])
             payloads = [bytes(out_np[li, :counts_np[li]])
                         for li in range(self.L)]
-        else:
-            planes = list(streams[0])
-            assert self.batch == 1
-            # naive per-slice path (bit depths > 10)
-            ctxs = jnp.zeros((self.L, self.n_max), jnp.int32)
-            diffs = jnp.zeros((self.L, self.n_max), jnp.int32)
-            acts = np.zeros((self.L, self.n_max), bool)
-            for si, geom in enumerate(self.geoms):
-                c, d = self._slice_stream(planes, geom)
-                n = self.stream_lens[si]
-                ctxs = ctxs.at[si, :n].set(c)
-                diffs = diffs.at[si, :n].set(d)
-                acts[si, :n] = True
-            payloads = []
-            new_states = []
-            for si in range(self.L):
-                n = self.stream_lens[si]
-                prov, valid, low, rng, s_out = rc_encode_scan(
-                    ctxs[si, :n], diffs[si, :n], jnp.asarray(acts[si, :n]),
-                    states0[si], self.one_tab, self.zero_tab,
-                    jnp.int32(lows[si]), jnp.int32(ranges[si]), self.bits)
-                new_states.append(s_out)
-                o, cnt = finalize_slice(prov, valid, low, rng,
-                                        jnp.asarray(prefixes[si]),
-                                        jnp.int32(plens[si]))
-                payloads.append(bytes(np.asarray(o)[:int(cnt)]))
-            self.states = jnp.stack(new_states)
 
-        self.picture_number += 1
         results = []
         for bi in range(self.batch):
             sl = payloads[bi * self.n_slices:(bi + 1) * self.n_slices]
             results.append((self._assemble(sl), keyframe))
         return results
+
+    def _encode_slow(self, streams, states0, lows, ranges, prefixes,
+                     plens):
+        planes = list(streams[0])
+        assert self.batch == 1
+        # naive per-slice path (bit depths > 10)
+        ctxs = jnp.zeros((self.L, self.n_max), jnp.int32)
+        diffs = jnp.zeros((self.L, self.n_max), jnp.int32)
+        acts = np.zeros((self.L, self.n_max), bool)
+        for si, geom in enumerate(self.geoms):
+            c, d = self._slice_stream(planes, geom)
+            n = self.stream_lens[si]
+            ctxs = ctxs.at[si, :n].set(c)
+            diffs = diffs.at[si, :n].set(d)
+            acts[si, :n] = True
+        payloads = []
+        new_states = []
+        for si in range(self.L):
+            n = self.stream_lens[si]
+            prov, valid, low, rng, s_out = rc_encode_scan(
+                ctxs[si, :n], diffs[si, :n], jnp.asarray(acts[si, :n]),
+                states0[si], self.one_tab, self.zero_tab,
+                jnp.int32(lows[si]), jnp.int32(ranges[si]), self.bits)
+            new_states.append(s_out)
+            o, cnt = finalize_slice(prov, valid, low, rng,
+                                    jnp.asarray(prefixes[si]),
+                                    jnp.int32(plens[si]))
+            payloads.append(bytes(np.asarray(o)[:int(cnt)]))
+        self.states = jnp.stack(new_states)
+
+        return payloads

@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .rc_scan_fast import chain_order
 
 
-def _kernel(bits, L, CC, CH, S, order,
+def _kernel(bits, L, CC, CH, S, order, compact,
             ctx_ref, diff_ref, act_ref, t0_ref, t1_ref, states0_ref,
             low0_ref, rng0_ref,
             prov_ref, lowout_ref, rngout_ref, statesout_ref,
@@ -200,7 +200,35 @@ def _kernel(bits, L, CC, CH, S, order,
             low = jnp.where(aj, nl, low)
             rng = jnp.where(aj, nr, rng)
 
-        prov_ref[i, :, :] = jnp.concatenate(outs, 0)   # (S, L)
+        if compact:
+            # per-pixel slot compaction in-kernel: >99.99% of pixels
+            # emit <= 4 bytes (measured max 3 on full-range noise), so
+            # pack [slot0..3, count, overflow, 0, 0] into an 8-row
+            # output — 3x less HBM traffic than the (S, L) raw form and
+            # no downstream per-pixel compaction pass.  Overflow (> 4
+            # emissions) is flagged; the caller redoes the frame on the
+            # XLA scan path.
+            allv = jnp.concatenate(outs, 0)            # (S, L)
+            val = (allv >> 20) & 1
+            # exclusive running count via a strict-lower-triangular MXU
+            # contraction (cumsum has no Pallas-TPU lowering); counts
+            # <= S=24 are bf16-exact
+            r_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+            c_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+            tri = (c_i < r_i).astype(jnp.bfloat16)
+            cnt_exc = jax.lax.dot(
+                tri, val.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            pv17 = allv & 0x1FFFF
+            srows = [jnp.sum(pv17 * val * (cnt_exc == k), axis=0,
+                             keepdims=True) for k in range(4)]
+            total = jnp.sum(val, axis=0, keepdims=True)  # (1, L)
+            ovf = (total > 4).astype(jnp.int32)
+            zero = jnp.zeros_like(total)
+            prov_ref[i, :, :] = jnp.concatenate(
+                srows + [total, ovf, zero, zero], 0)   # (8, L)
+        else:
+            prov_ref[i, :, :] = jnp.concatenate(outs, 0)   # (S, L)
         lowv[pl.ds(0, 1), :] = low
         rngv[pl.ds(0, 1), :] = rng
         return 0
@@ -214,30 +242,23 @@ def _kernel(bits, L, CC, CH, S, order,
         statesout_ref[...] = states[...]
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "chunk"))
-def rc_encode_pallas_packed(ctx, diff, active, states0, one_tab, zero_tab,
-                            low0, range0, bits: int, chunk: int = 512):
-    """Pallas lane-major range-coder scan, raw output form.
-
-    Returns (packed int32[N, S, L], low[L], range[L], states uint8)
-    with the emit flag in bit 20 and the provisional value in bits
-    0..16 — the layout the kernel writes, with no unpack/transpose
-    passes over the (N, S, L) array (finalize_packed consumes it
-    directly).  states0 must be uint8 (L, CC, 32).
-    """
+def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
+                 low0, range0, bits: int, chunk: int, compact: bool):
     L, N = ctx.shape
     CC_real = states0.shape[1]
     NB = -(-CC_real // 32)               # 32 context rows per (8,128) tile
     CC = NB * 8                          # scratch sublane count
     order = chain_order(bits)
     S = len(order)
+    SOUT = 8 if compact else S
     assert N % chunk == 0
     nsteps = N // chunk
 
     t0_tab = zero_tab.astype(jnp.int8)[:, None]   # (256, 1)
     t1_tab = one_tab.astype(jnp.int8)[:, None]
 
-    kernel = functools.partial(_kernel, bits, L, CC, chunk, S, order)
+    kernel = functools.partial(_kernel, bits, L, CC, chunk, S, order,
+                               compact)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nsteps,),
@@ -255,7 +276,7 @@ def rc_encode_pallas_packed(ctx, diff, active, states0, one_tab, zero_tab,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # range0
         ],
         out_specs=[
-            pl.BlockSpec((chunk, S, L), lambda i: (i, 0, 0),
+            pl.BlockSpec((chunk, SOUT, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),      # prov (packed)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # low out
             pl.BlockSpec(memory_space=pltpu.VMEM),      # range out
@@ -277,7 +298,7 @@ def rc_encode_pallas_packed(ctx, diff, active, states0, one_tab, zero_tab,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((N, S, L), jnp.int32),
+            jax.ShapeDtypeStruct((N, SOUT, L), jnp.int32),
             jax.ShapeDtypeStruct((1, L), jnp.int32),
             jax.ShapeDtypeStruct((1, L), jnp.int32),
             jax.ShapeDtypeStruct((L, CC, 128), jnp.int8),
@@ -293,12 +314,40 @@ def rc_encode_pallas_packed(ctx, diff, active, states0, one_tab, zero_tab,
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "chunk"))
+def rc_encode_pallas_packed(ctx, diff, active, states0, one_tab, zero_tab,
+                            low0, range0, bits: int, chunk: int = 512):
+    """Pallas lane-major range-coder scan, raw output form.
+
+    Returns (packed int32[N, S, L], low[L], range[L], states uint8)
+    with the emit flag in bit 20 and the provisional value in bits
+    0..16.  states0 must be uint8 (L, CC, 32).
+    """
+    return _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
+                        low0, range0, bits, chunk, False)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "chunk"))
+def rc_encode_pallas_compact(ctx, diff, active, states0, one_tab,
+                             zero_tab, low0, range0, bits: int,
+                             chunk: int = 512):
+    """Pallas scan with in-kernel per-pixel slot compaction.
+
+    Returns (cm int32[N, 8, L], low[L], range[L], states uint8) where
+    cm rows are [slot0..slot3 (prov_value format), count, overflow,
+    0, 0].  3x less HBM traffic than the raw (N, S, L) form; on
+    overflow (a pixel emitted > 4 bytes — unobserved even on
+    full-range noise) the caller redoes the frame on the XLA path.
+    """
+    return _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
+                        low0, range0, bits, chunk, True)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "chunk"))
 def rc_encode_pallas(ctx, diff, active, states0, one_tab, zero_tab,
                      low0, range0, bits: int, chunk: int = 512):
     """rc_encode_scan_lanes-compatible wrapper: prov/valid unpacked to
-    (N, L, S).  Prefer rc_encode_pallas_packed + finalize_packed in the
-    production pipeline (skips two full passes over the (N, S, L)
-    emission array)."""
+    (N, L, S).  Prefer rc_encode_pallas_compact + finalize_compact in
+    the production pipeline."""
     prov, low, rng, states_u8 = rc_encode_pallas_packed(
         ctx, diff, active, states0, one_tab, zero_tab, low0, range0,
         bits, chunk)

@@ -420,6 +420,29 @@ def finalize_packed(packed, low, rng, prefix, prefix_len):
 
 
 @jax.jit
+def finalize_compact(cm, low, rng, prefix, prefix_len):
+    """Finalize from the in-kernel-compacted Pallas output.
+
+    cm: int32[N, 8, L] rows [slot0..slot3 (prov_value format), count,
+    overflow, 0, 0].  Returns (bytes uint8[L, T], count int32[L],
+    overflow bool[]) — on overflow the caller must re-encode the frame
+    on the XLA scan path (the raw slots no longer exist).
+    """
+    S2 = 4
+    N, _, L = cm.shape
+    slots = cm[:, :S2, :]                                 # (N, 4, L)
+    total_pix = cm[:, S2, :]                              # (N, L)
+    overflow = jnp.max(cm[:, S2 + 1, :]) > 0
+    vld = (jnp.arange(S2, dtype=jnp.int32)[None, :, None]
+           < total_pix[:, None, :])
+    flat_b = jnp.transpose(slots, (2, 0, 1)).reshape(L, N * S2)
+    flat_v = jnp.transpose(vld, (2, 0, 1)).reshape(L, N * S2)
+    out, count = _resolve_compact(flat_b, flat_v, low, rng,
+                                  prefix, prefix_len)
+    return out, count, overflow
+
+
+@jax.jit
 def finalize_packed_full(packed, low, rng, prefix, prefix_len):
     """Full-width (no per-pixel compaction) fallback for finalize_packed
     overflow: feeds all S slots straight into the resolve+compact."""
