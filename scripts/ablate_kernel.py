@@ -24,7 +24,8 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_ffv1.tpu.rc_scan_fast import chain_order
 from tpu_ffv1.core.rac import default_state_tables
 
-L, NB, NPIX = 96, 21, 1024
+L, NB, NPIX = 96, 42, 129600
+CHUNK = 144
 CC = NB * 8
 bits = 8
 order = chain_order(bits)
@@ -179,7 +180,7 @@ def kernel(read, trans, write, chain,
                 .T[0:1, :]
         return 0
 
-    jax.lax.fori_loop(0, NPIX, pixel, 0)
+    jax.lax.fori_loop(0, CHUNK, pixel, 0)
 
 
 one_tab, zero_tab = default_state_tables()
@@ -204,25 +205,31 @@ for name, flags in VARIANTS:
                           flags["write"], flags["chain"])
     f = pl.pallas_call(
         k,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(NPIX // CHUNK,),
+            in_specs=[pl.BlockSpec((CHUNK, L), lambda i: (i, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((CHUNK, L), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((CHUNK, L), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((CHUNK, S, L), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((L, CC, 128), jnp.int8),
+                            pltpu.VMEM((1, L), jnp.int32),
+                            pltpu.VMEM((1, L), jnp.int32)]),
         out_shape=jax.ShapeDtypeStruct((NPIX, S, L), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((L, CC, 128), jnp.int8),
-                        pltpu.VMEM((1, L), jnp.int32),
-                        pltpu.VMEM((1, L), jnp.int32)],
     )
     fj = jax.jit(f)
     try:
-        r = fj(ctx, diff, act, t0t, t1t)
-        jax.block_until_ready(r)
+        np.asarray(fj(ctx, diff, act, t0t, t1t)[0, 0, 0])
         ts = []
         for _ in range(3):
             t0 = time.time()
-            jax.block_until_ready(fj(ctx, diff, act, t0t, t1t))
+            np.asarray(fj(ctx, diff, act, t0t, t1t)[0, 0, 0])
             ts.append(time.time() - t0)
         print(f"{name:11s}: {min(ts)/NPIX*1e9:7.0f} ns/pixel", flush=True)
     except Exception as e:

@@ -194,13 +194,17 @@ class TPUFFV1Encoder:
                         plens, use_pallas=True):
         """Fused device pipeline: stencil -> lane scan -> finalize.
 
-        ``streams``: tuple of per-stream plane tuples (len == batch).
-        Lane index = stream * n_slices + slice.
+        ``streams``: tuple of per-plane arrays stacked over the batch
+        (plane k: (batch, Hk, Wk)) — one upload per plane type instead
+        of batch x planes round trips on remote backends.  Lane index =
+        stream * n_slices + slice.
         """
         ctxs = jnp.zeros((self.L, self.n_max), jnp.int32)
         diffs = jnp.zeros((self.L, self.n_max), jnp.int32)
         acts_np = np.zeros((self.L, self.n_max), bool)
-        for bi, planes in enumerate(streams):
+        per_stream = tuple(
+            tuple(p[bi] for p in streams) for bi in range(self.batch))
+        for bi, planes in enumerate(per_stream):
             for si, geom in enumerate(self.geoms):
                 lane = bi * self.n_slices + si
                 c, d = self._slice_stream(planes, geom)
@@ -306,9 +310,14 @@ class TPUFFV1Encoder:
             def work():
                 # runs on the single-worker executor: submits are
                 # processed strictly in order, so reading/advancing
-                # self.states here keeps the GOP context chain intact
-                streams = tuple(tuple(jnp.asarray(p) for p in s)
-                                for s in streams_np)
+                # self.states here keeps the GOP context chain intact.
+                # planes are stacked over the batch: one upload per
+                # plane type (each jnp.asarray is a round trip on
+                # remote backends)
+                nplanes = len(streams_np[0])
+                streams = tuple(
+                    jnp.asarray(np.stack([s[k] for s in streams_np]))
+                    for k in range(nplanes))
                 states0 = jnp.full_like(self.states, 128) if keyframe \
                     else self.states
                 (out, counts, states_out, overflow, packed, low,

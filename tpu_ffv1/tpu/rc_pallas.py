@@ -22,11 +22,14 @@ persists across grid steps.  Outputs feed the same finalize_lanes
 compaction as the XLA path.
 
 STATUS: byte-exact vs the XLA kernel under the Pallas TPU interpreter
-(tests/test_pallas.py).  Compiling for real v5e currently aborts inside
-Mosaic's VectorLayoutInferer (CHECK failure 'offsets_[0] < tiling_[0]',
-reproduced with both 1-D and all-2-D formulations) — revisit with a
-newer jax/libtpu; expected ~1 us/pixel (vs ~8.8 us on the XLA path)
-once it compiles.
+(tests/test_pallas.py) and on real v5e (the production default path).
+Measured ~4.8 us/pixel-step at L=96 lanes, VPU-op bound; honest ablation
+(scripts/ablate2.py, forced transfers — block_until_ready does not block
+under remote backends): the (L*32, 256) one-hot transition block is
+~67% of the kernel, the write loop ~7%, the low/range chain ~3%.
+Attempted per-position transposed one-hots ((256, L) int8 compares +
+(2,256)@(256,L) matvecs) do not lower (Mosaic rejects packed-int8 cmpi
+on that layout) and would lose batched-op efficiency anyway.
 """
 from __future__ import annotations
 
@@ -297,6 +300,10 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
     res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        # default scoped-vmem budget is 16 MB; v5e has 128 MB.  Large
+        # lane counts (stream batch >= 8: states scratch alone is
+        # L*CC*128 int8 ~ 8 MB) need more headroom
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         out_shape=[
             jax.ShapeDtypeStruct((N, SOUT, L), jnp.int32),
             jax.ShapeDtypeStruct((1, L), jnp.int32),
