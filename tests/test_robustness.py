@@ -112,3 +112,33 @@ def test_slice_count_invariance():
         outs.append(total)
     # more slices => more per-slice overhead, but same content
     assert outs == sorted(outs)
+
+
+def test_tpu_decoder_crc_conceals():
+    """TPU decoder mirrors the host CRC + concealment path
+    (ffv1dec.c:963-980, :1001-1021)."""
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+
+    frames = _frames()
+    enc = FFV1Encoder(EncoderParams(width=W, height=H, pix_fmt="yuv420p",
+                                    level=3, coder=2, slices=4,
+                                    slicecrc=1))
+    pkts = [enc.encode_frame(f)[0] for f in frames]
+    dec = TPUFFV1Decoder(W, H, enc.extradata)
+    prev, _ = dec.decode_frame(pkts[0])
+
+    bad = bytearray(pkts[1])
+    _lcg_trash(bad, seed=123, n_flips=4)
+    planes, _ = dec.decode_frame(bytes(bad))
+    assert any(dec.slice_damaged), "corruption must be detected"
+    for si, flag in enumerate(dec.slice_damaged):
+        if not flag:
+            continue
+        g = dec.geoms[si]
+        got = planes[0][g.y:g.y + g.height, g.x:g.x + g.width]
+        want = prev[0][g.y:g.y + g.height, g.x:g.x + g.width]
+        assert np.array_equal(got, want)
+    # a later keyframe fully recovers
+    out, key = dec.decode_frame(pkts[0])
+    assert key and all(np.array_equal(a, b)
+                       for a, b in zip(out, frames[0]))

@@ -14,6 +14,7 @@ import numpy as np
 
 from ..bitstream.headers import read_extra_header, read_slice_header
 from ..core import tables as T
+from ..core.crc import crc32_ieee
 from ..core.rac import RangeDecoder, custom_state_tables, default_state_tables
 from ..core.intmath import ceil_rshift
 from ..codec.context import SliceState, slice_grid
@@ -51,6 +52,12 @@ class TPUFFV1Decoder:
         # per-slice: device states + quant table index (from slice header)
         self.slice_states: list = [None] * len(self.geoms)
         self.qts = [jnp.asarray(q, dtype=jnp.int32) for q in g.quant_tables]
+        # damage tracking: per-slice CRC / decode failures are concealed
+        # from the previous picture and stay concealed until the next
+        # keyframe (ffv1dec.c:963-980 CRC, :1001-1021 concealment,
+        # damage persists through inherited contexts :383)
+        self.slice_damaged = [False] * len(self.geoms)
+        self.last_planes = None
 
     def _split_slices(self, pkt: bytes):
         trailer = 3 + 5 * (1 if self.ec else 0)
@@ -90,14 +97,38 @@ class TPUFFV1Decoder:
             planes.append(np.zeros((h, w), dtype=dt))
 
         for si, (start, end) in enumerate(bounds):
+            if keyframe:
+                self.slice_damaged[si] = False
+            if self.ec and crc32_ieee(pkt[start:end]) != 0:
+                self.slice_damaged[si] = True
             buf = pkt[start:end] if si else pkt[:end]
             src = RangeDecoder(buf)
             src.set_tables(*self.tables)
             if si == 0:
                 # continue after the keyframe bit
                 src.low, src.range, src.pos = rc.low, rc.range, rc.pos
-            self._decode_slice(si, buf, src, planes, keyframe)
+            try:
+                self._decode_slice(si, buf, src, planes, keyframe)
+            except (ValueError, IndexError):
+                self.slice_damaged[si] = True
 
+        # conceal damaged rects from the previous picture
+        if self.last_planes is not None:
+            for si, damaged in enumerate(self.slice_damaged):
+                if not damaged:
+                    continue
+                geom = self.geoms[si]
+                hs, vs = g.chroma_h_shift, g.chroma_v_shift
+                for j, (dst, src_p) in enumerate(zip(planes,
+                                                     self.last_planes)):
+                    sh = hs if j in (1, 2) and g.chroma_planes else 0
+                    sv = vs if j in (1, 2) and g.chroma_planes else 0
+                    ys, xs = geom.y >> sv, geom.x >> sh
+                    he = ceil_rshift(geom.y + geom.height, sv)
+                    we = ceil_rshift(geom.x + geom.width, sh)
+                    dst[ys:he, xs:we] = src_p[ys:he, xs:we]
+
+        self.last_planes = planes
         self.key_frame_ok = True
         return planes, keyframe
 
