@@ -77,7 +77,7 @@ def test_pallas_compact_matches_xla_interpret():
     packed = jnp.moveaxis(p0 + (v0.astype(jnp.int32) << 20), 1, 2)
     out0, cnt0, ovf0 = finalize_packed(packed, l0, r0, prefix, plen)
 
-    assert not bool(ovf0) and not bool(ovf1)
+    assert not np.asarray(ovf0).any() and not np.asarray(ovf1).any()
     assert np.array_equal(np.asarray(cnt0), np.asarray(cnt1))
     c = np.asarray(cnt0)
     for lane in range(L):

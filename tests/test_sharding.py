@@ -1,0 +1,109 @@
+"""Device-count invariance of the sharded encode path.
+
+The reference validates its parallelism by bit-exactness under every
+thread count (tests/fate-run.sh:18-19 parameterizes `threads`; the same
+FATE goldens must pass).  The TPU-native analog: the full production
+encode pipeline under shard_map must emit byte-identical packets on
+1-, 2- and 8-device meshes, and identical to the unsharded host encoder.
+Runs on the conftest's 8 virtual CPU devices.
+"""
+import numpy as np
+import pytest
+
+from tpu_ffv1.codec.encoder import FFV1Encoder
+from tpu_ffv1.codec.params import EncoderParams
+
+
+def _frames(W, H, n, seed=3):
+    rng = np.random.RandomState(seed)
+    out = []
+    for t in range(n):
+        y = ((np.add.outer(np.arange(H), np.arange(W)) + 5 * t) % 256 +
+             rng.randint(0, 16, (H, W))).astype(np.uint8)
+        u = rng.randint(90, 110, (H // 2, W // 2)).astype(np.uint8)
+        v = rng.randint(150, 170, (H // 2, W // 2)).astype(np.uint8)
+        out.append([y, u, v])
+    return out
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_mesh_packet_invariance(ndev):
+    """Full TPUFFV1Encoder pipeline on an ndev mesh == host encoder."""
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+    from tpu_ffv1.tpu.sharding import make_mesh
+
+    params = EncoderParams(width=64, height=32, pix_fmt="yuv420p",
+                           level=3, coder=-2, slices=4, slicecrc=1,
+                           gop_size=2)
+    mesh = make_mesh(ndev)
+    enc = TPUFFV1Encoder(params, batch=2, mesh=mesh)  # L=8 lanes
+    hosts = [FFV1Encoder(params, engine="spec") for _ in range(2)]
+    for t, fr in enumerate(_frames(64, 32, 2)):
+        got = enc.encode_frames([fr, fr])
+        for b in range(2):
+            ref = hosts[b].encode_frame(fr)
+            assert got[b][1] == ref[1]
+            assert got[b][0] == ref[0], f"ndev={ndev} frame {t} stream {b}"
+
+
+def test_encode_lanes_sharded_jits_once():
+    """The sharded encode fn is built and compiled once per
+    (mesh, bits, path) — the round-1 version retraced every call."""
+    import jax.numpy as jnp
+    from tpu_ffv1.core import tables as T
+    from tpu_ffv1.core.rac import default_state_tables
+    from tpu_ffv1.tpu import sharding as sh
+
+    mesh = sh.make_mesh(2)
+    CC = T.CONTEXT_COUNTS[0]
+    one, zero = default_state_tables()
+    one_t, zero_t = jnp.asarray(one), jnp.asarray(zero)
+    rng = np.random.RandomState(0)
+    L, N = 4, 64
+    args = dict(
+        ctx=jnp.asarray(rng.randint(0, CC, (L, N)), jnp.int32),
+        diff=jnp.asarray(rng.randint(-100, 100, (L, N)), jnp.int32),
+        active=jnp.ones((L, N), bool),
+        states0=jnp.full((L, CC, 32), 128, jnp.uint8),
+        lows=jnp.zeros(L, jnp.int32),
+        ranges=jnp.full(L, 0xFF00, jnp.int32),
+        prefixes=jnp.zeros((L, 8), jnp.int32),
+        plens=jnp.zeros(L, jnp.int32),
+    )
+    sh._FN_CACHE.clear()
+    out1, cnt1, st1 = sh.encode_lanes_sharded(
+        mesh, args["ctx"], args["diff"], args["active"], args["states0"],
+        one_t, zero_t, args["lows"], args["ranges"], args["prefixes"],
+        args["plens"], 8)
+    assert len(sh._FN_CACHE) == 1
+    fn = next(iter(sh._FN_CACHE.values()))
+    n0 = fn._cache_size()
+    out2, cnt2, st2 = sh.encode_lanes_sharded(
+        mesh, args["ctx"], args["diff"], args["active"], args["states0"],
+        one_t, zero_t, args["lows"], args["ranges"], args["prefixes"],
+        args["plens"], 8)
+    assert len(sh._FN_CACHE) == 1 and fn._cache_size() == n0
+    assert np.array_equal(np.asarray(out1), np.asarray(out2))
+    assert np.array_equal(np.asarray(cnt1), np.asarray(cnt2))
+
+    # and the sharded bytes equal the unsharded scan + finalize
+    from tpu_ffv1.tpu.rc_scan_lanes import (finalize_packed_full,
+                                            rc_encode_scan_lanes)
+    prov, valid, low, rng2, st = rc_encode_scan_lanes(
+        args["ctx"], args["diff"], args["active"], args["states0"],
+        one_t, zero_t, args["lows"], args["ranges"], 8)
+    packed = jnp.moveaxis(prov + (valid.astype(jnp.int32) << 20), 1, 2)
+    out_ref, cnt_ref = finalize_packed_full(
+        packed, low, rng2, args["prefixes"], args["plens"])
+    cn = np.asarray(cnt_ref)
+    for li in range(L):
+        assert np.array_equal(np.asarray(out1)[li, :cn[li]],
+                              np.asarray(out_ref)[li, :cn[li]])
+    assert np.array_equal(np.asarray(st1), np.asarray(st))
+
+
+def test_dryrun_multichip_entry():
+    """The driver artifact itself: must pass in-process regardless of
+    environment (it self-forces the CPU mesh)."""
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)

@@ -134,6 +134,7 @@ def test_finalize_packed_matches_finalize_lanes():
                                       jnp.asarray(rg),
                                       jnp.asarray(prefix),
                                       jnp.asarray(plen))
+        ovf = np.asarray(ovf).any()
         if bool(ovf):
             o2, c2 = finalize_packed_full(packed, jnp.asarray(low),
                                           jnp.asarray(rg),

@@ -55,7 +55,7 @@ class TPUFFV1Encoder:
     Use encode_frames([stream0_frame, stream1_frame, ...]).
     """
 
-    def __init__(self, params: EncoderParams, batch: int = 1):
+    def __init__(self, params: EncoderParams, batch: int = 1, mesh=None):
         self.rp = resolve(params)
         rp = self.rp
         if rp.ac == T.AC_GOLOMB_RICE:
@@ -91,6 +91,16 @@ class TPUFFV1Encoder:
         self.fast = self.bits <= 10
         self.n_slices = len(self.geoms)
         self.L = self.n_slices * batch
+        # multi-chip: shard slice lanes over a device mesh (the
+        # TPU-native analog of the reference's slice thread pool,
+        # pthread_slice.c — see tpu/sharding.py).  Slices are
+        # independent bitstreams, so the scan+finalize runs under
+        # shard_map with zero collectives.
+        self.mesh = mesh
+        if mesh is not None and self.L % mesh.devices.size:
+            raise ValueError(
+                f"lane count {self.L} (batch x slices) must divide the "
+                f"mesh size {mesh.devices.size}")
 
         # lane-major device state tables, persisted across frames
         self.states = jnp.full((self.L, self.total_cc, 32), 128,
@@ -121,6 +131,20 @@ class TPUFFV1Encoder:
         self.stream_lens = [self._stream_len(g) for g in self.geoms]
         pad = self.pallas_chunk * self.unroll
         self.n_max = -(-max(self.stream_lens) // pad) * pad
+        # uniform slice grids (all slices identical size, chroma tiles
+        # exactly) take the vectorized stencil path: slicing is a pure
+        # block reshape and the stencil one vmap per plane type, so the
+        # traced program no longer scales with batch x slices (the
+        # round-1 per-lane .at[].set loop dominated compile time)
+        g0 = self.geoms[0]
+        nh, nv = self.rp.num_h_slices, self.rp.num_v_slices
+        self.uniform = (
+            all(g.width == g0.width and g.height == g0.height
+                for g in self.geoms) and
+            rp.width % nh == 0 and rp.height % nv == 0 and
+            (not rp.chroma_planes or
+             (g0.width % (1 << rp.chroma_h_shift) == 0 and
+              g0.height % (1 << rp.chroma_v_shift) == 0)))
         # transfer-size cap for the output byte planes (host re-checks
         # counts; codeable worst case is ~2.2 bytes/pixel at 8 bit)
         self.out_cap = self.n_max * 3 + 4096
@@ -190,6 +214,53 @@ class TPUFFV1Encoder:
 
     # -----------------------------------------------------------------
 
+    def _crops_uniform(self, stack, nh, nv):
+        """(B, H, W) -> (B*nv*nh, H/nv, W/nh) slice crops, lane order
+        bi*n_slices + sy*nh + sx — a pure block reshape (zero copies
+        beyond XLA's layout pass) valid only for uniform grids."""
+        B, H, W = stack.shape
+        h, w = H // nv, W // nh
+        c = stack.reshape(B, nv, h, nh, w)
+        return jnp.transpose(c, (0, 1, 3, 2, 4)).reshape(B * nv * nh,
+                                                         h, w)
+
+    def _streams_uniform(self, streams):
+        """Vectorized (ctx, diff) lane streams for uniform slice grids:
+        one vmapped stencil per plane type instead of batch x slices
+        traced instances."""
+        rp = self.rp
+        nh, nv = rp.num_h_slices, rp.num_v_slices
+
+        def stencil(img):
+            s = load_plane(img, self.bits, rp.packed_at_lsb)
+            c, d = residuals_and_contexts(s, self.qt, self.bits,
+                                          self.five_input)
+            return c.reshape(-1), d.reshape(-1)
+
+        parts_ctx, parts_diff = [], []
+
+        def add(stack, state_plane):
+            crops = self._crops_uniform(stack, nh, nv)
+            c, d = jax.vmap(stencil)(crops)
+            parts_ctx.append(c + state_plane * self.cc)
+            parts_diff.append(d)
+
+        add(streams[0], 0)
+        if rp.chroma_planes:
+            add(streams[1], 1)
+            add(streams[2], 1)
+        if rp.transparency:
+            add(streams[-1], 2)
+        ctxs = jnp.concatenate(parts_ctx, axis=1)
+        diffs = jnp.concatenate(parts_diff, axis=1)
+        n = ctxs.shape[1]
+        assert n == self.stream_lens[0]
+        ctxs = jnp.pad(ctxs, ((0, 0), (0, self.n_max - n)))
+        diffs = jnp.pad(diffs, ((0, 0), (0, self.n_max - n)))
+        acts_np = np.zeros((self.L, self.n_max), bool)
+        acts_np[:, :n] = True
+        return ctxs, diffs, jnp.asarray(acts_np)
+
     def _frame_pipeline(self, streams, states0, lows, ranges, prefixes,
                         plens, use_pallas=True):
         """Fused device pipeline: stencil -> lane scan -> finalize.
@@ -199,20 +270,23 @@ class TPUFFV1Encoder:
         of batch x planes round trips on remote backends.  Lane index =
         stream * n_slices + slice.
         """
-        ctxs = jnp.zeros((self.L, self.n_max), jnp.int32)
-        diffs = jnp.zeros((self.L, self.n_max), jnp.int32)
-        acts_np = np.zeros((self.L, self.n_max), bool)
-        per_stream = tuple(
-            tuple(p[bi] for p in streams) for bi in range(self.batch))
-        for bi, planes in enumerate(per_stream):
-            for si, geom in enumerate(self.geoms):
-                lane = bi * self.n_slices + si
-                c, d = self._slice_stream(planes, geom)
-                n = self.stream_lens[si]
-                ctxs = ctxs.at[lane, :n].set(c)
-                diffs = diffs.at[lane, :n].set(d)
-                acts_np[lane, :n] = True
-        acts = jnp.asarray(acts_np)
+        if self.uniform:
+            ctxs, diffs, acts = self._streams_uniform(streams)
+        else:
+            ctxs = jnp.zeros((self.L, self.n_max), jnp.int32)
+            diffs = jnp.zeros((self.L, self.n_max), jnp.int32)
+            acts_np = np.zeros((self.L, self.n_max), bool)
+            per_stream = tuple(
+                tuple(p[bi] for p in streams) for bi in range(self.batch))
+            for bi, planes in enumerate(per_stream):
+                for si, geom in enumerate(self.geoms):
+                    lane = bi * self.n_slices + si
+                    c, d = self._slice_stream(planes, geom)
+                    n = self.stream_lens[si]
+                    ctxs = ctxs.at[lane, :n].set(c)
+                    diffs = diffs.at[lane, :n].set(d)
+                    acts_np[lane, :n] = True
+            acts = jnp.asarray(acts_np)
 
         # carry resolution runs over the uncompacted slot stream
         # (invalid slots are neutral propagators), per-pixel slot
@@ -221,31 +295,54 @@ class TPUFFV1Encoder:
         # key|byte sort — see finalize_compact/finalize_packed.
         # Overflow (a pixel emitted > 4 bytes; unobserved even on
         # full-range noise) makes the host redo the frame full-width.
-        if self.use_pallas and use_pallas and self.pallas_compact:
-            # measured SLOWER than the raw form on v5e (the per-pixel
-            # compaction block outweighs the HBM/finalize savings);
-            # kept behind FFV1_PALLAS_COMPACT=1 as a reference point
-            cm, low, rng, states_out = rc_encode_pallas_compact(
-                ctxs, diffs, acts, states0, self.one_tab, self.zero_tab,
-                lows, ranges, self.bits, self.pallas_chunk)
-            out, counts, overflow = finalize_compact(cm, low, rng,
-                                                     prefixes, plens)
-            packed = cm      # placeholder (overflow re-runs on XLA path)
-        elif self.use_pallas and use_pallas:
-            packed, low, rng, states_out = rc_encode_pallas_packed(
-                ctxs, diffs, acts, states0, self.one_tab, self.zero_tab,
-                lows, ranges, self.bits, self.pallas_chunk)
-            out, counts, overflow = finalize_packed(packed, low, rng,
-                                                    prefixes, plens)
-        else:
-            prov, valid, low, rng, states_out = \
-                rc_encode_scan_lanes_unrolled(
+        def scanfin(ctxs, diffs, acts, states0, lows, ranges, prefixes,
+                    plens):
+            if self.use_pallas and use_pallas and self.pallas_compact:
+                # measured SLOWER than the raw form on v5e (the
+                # per-pixel compaction block outweighs the HBM/finalize
+                # savings); kept behind FFV1_PALLAS_COMPACT=1
+                cm, low, rng, states_out = rc_encode_pallas_compact(
                     ctxs, diffs, acts, states0, self.one_tab,
-                    self.zero_tab, lows, ranges, self.bits, self.unroll)
-            packed = jnp.moveaxis(
-                prov + (valid.astype(jnp.int32) << 20), 1, 2)
-            out, counts, overflow = finalize_packed(packed, low, rng,
-                                                    prefixes, plens)
+                    self.zero_tab, lows, ranges, self.bits,
+                    self.pallas_chunk)
+                out, counts, overflow = finalize_compact(cm, low, rng,
+                                                         prefixes, plens)
+                packed = cm  # placeholder (overflow re-runs on XLA path)
+            elif self.use_pallas and use_pallas:
+                packed, low, rng, states_out = rc_encode_pallas_packed(
+                    ctxs, diffs, acts, states0, self.one_tab,
+                    self.zero_tab, lows, ranges, self.bits,
+                    self.pallas_chunk)
+                out, counts, overflow = finalize_packed(packed, low, rng,
+                                                        prefixes, plens)
+            else:
+                prov, valid, low, rng, states_out = \
+                    rc_encode_scan_lanes_unrolled(
+                        ctxs, diffs, acts, states0, self.one_tab,
+                        self.zero_tab, lows, ranges, self.bits,
+                        self.unroll)
+                packed = jnp.moveaxis(
+                    prov + (valid.astype(jnp.int32) << 20), 1, 2)
+                out, counts, overflow = finalize_packed(packed, low, rng,
+                                                        prefixes, plens)
+            return out, counts, states_out, overflow, packed, low, rng
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            ax = self.mesh.axis_names[0]
+            lane = P(ax)
+            out, counts, states_out, overflow, packed, low, rng = \
+                jax.shard_map(
+                    scanfin, mesh=self.mesh,
+                    in_specs=(lane,) * 3 + (lane,) * 5,
+                    out_specs=(lane, lane, lane, lane,
+                               P(None, None, ax), lane, lane))(
+                    ctxs, diffs, acts, states0, lows, ranges,
+                    prefixes, plens)
+        else:
+            out, counts, states_out, overflow, packed, low, rng = \
+                scanfin(ctxs, diffs, acts, states0, lows, ranges,
+                        prefixes, plens)
         return out[:, :self.out_cap], counts, states_out, overflow, \
             packed, low, rng
 
@@ -355,7 +452,7 @@ class TPUFFV1Encoder:
             payloads = p["payloads"]
         else:
             out, counts = p["out"], p["counts"]
-            if bool(p["overflow"]):
+            if bool(np.asarray(p["overflow"]).any()):
                 # rare: some pixel emitted > 4 bytes.  The Pallas compact
                 # form has already dropped slots past the 4th, so redo the
                 # frame on the XLA scan path (raw slots retained) and
@@ -370,7 +467,7 @@ class TPUFFV1Encoder:
                         jnp.asarray(p["plens"]), use_pallas=False)
                 else:
                     ovf2 = p["overflow"]
-                if bool(ovf2):
+                if bool(np.asarray(ovf2).any()):
                     out, counts = finalize_packed_full(
                         packed, low, rng, jnp.asarray(p["prefixes"]),
                         jnp.asarray(p["plens"]))

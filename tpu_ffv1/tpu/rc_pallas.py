@@ -5,8 +5,8 @@ dispatch of the state-row gather/scatter (dynamic indices force XLA:TPU
 into slow scatter lowerings).  This kernel keeps the per-lane context
 state tables resident in VMEM and addresses rows with *scalar* indices
 read from SMEM — the TPU-native way to do data-dependent addressing —
-while the per-pixel decision masks, the state-transition one-hot
-contraction (MXU) and the low/range chain stay vectorized over lanes.
+while the per-pixel decision masks, state transitions and the low/range
+chain stay vectorized over lanes.
 
 Layout notes:
   * states: (L, CC, 128) int8 in VMEM scratch — the 32-byte context row
@@ -17,19 +17,29 @@ Layout notes:
   * per-chunk outputs: provisional values packed with the valid flag
     (bit 20) and the low-byte carry flag (bit 16), shaped (CH, S, L).
 
+State transitions (round-2 design — the round-1 (L*32, 256) one-hot +
+two (256, 1) matvecs measured ~67% of kernel time):
+  * every transition is new = bit ? one[s] : zero[s]; the normative
+    table identity zero[s] = (256 - one[(256-s) & 0xFF]) & 0xFF
+    (rangecoder.c ff_build_rac_states / ffv1.c:95-101 custom tables)
+    reduces it to ONE table: t = one[bit ? s : 256-s],
+    new = bit ? t : 256-t.
+  * the one[idx] lookup for a (1, L) row vector is a 5-level
+    binary-select tree over 8-aligned sublane halves of the (256, 1)
+    table ((128,L) -> (64,L) -> ... -> (8,L)) plus one masked 8-sublane
+    reduction — ~10 small VPU ops instead of a 786K-element compare.
+  * only CODED positions transition: the static exponent/mantissa/zero
+    slots (chain_order_nosign) get one tree each, and the e_max+1 sign
+    candidates collapse to ONE dynamic step (state row picked by a
+    (posT == 11+e) masked reduction) since exactly one is active per
+    nonzero pixel — this also shrinks the output slots S by ~30%.
+
 Grid is sequential over pixel chunks; scratch (states, low, range)
-persists across grid steps.  Outputs feed the same finalize_lanes
-compaction as the XLA path.
+persists across grid steps.  Outputs feed the same finalize_* compaction
+as the XLA path.
 
 STATUS: byte-exact vs the XLA kernel under the Pallas TPU interpreter
-(tests/test_pallas.py) and on real v5e (the production default path).
-Measured ~4.8 us/pixel-step at L=96 lanes, VPU-op bound; honest ablation
-(scripts/ablate2.py, forced transfers — block_until_ready does not block
-under remote backends): the (L*32, 256) one-hot transition block is
-~67% of the kernel, the write loop ~7%, the low/range chain ~3%.
-Attempted per-position transposed one-hots ((256, L) int8 compares +
-(2,256)@(256,L) matvecs) do not lower (Mosaic rejects packed-int8 cmpi
-on that layout) and would lose batched-op efficiency anyway.
+(tests/test_pallas.py) and on real v5e.
 """
 from __future__ import annotations
 
@@ -40,11 +50,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rc_scan_fast import chain_order
+from .rc_scan_fast import chain_order_nosign
 
 
 def _kernel(bits, L, CC, CH, S, order, compact,
-            ctx_ref, diff_ref, act_ref, t0_ref, t1_ref, states0_ref,
+            ctx_ref, diff_ref, act_ref, t1_ref, states0_ref,
             low0_ref, rng0_ref,
             prov_ref, lowout_ref, rngout_ref, statesout_ref,
             states, lowv, rngv):
@@ -57,15 +67,41 @@ def _kernel(bits, L, CC, CH, S, order, compact,
         lowv[...] = low0_ref[...]
         rngv[...] = rng0_ref[...]
 
-    pos32 = jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1)
     posT = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     # transpose-by-matmul basis: Mosaic has no general 2-D transpose, but
     # rowsT = I32 @ rows^T is one tiny MXU op (values <= 255, exact in
     # bf16/f32)
     eye32 = (jax.lax.broadcasted_iota(jnp.int32, (32, 32), 0) ==
              jax.lax.broadcasted_iota(jnp.int32, (32, 32), 1)) \
         .astype(jnp.bfloat16)
+
+    def lookup_one(idx):
+        """one_tab[idx] for idx (1, L) int32 in [0, 255] -> (1, L) int32.
+
+        Binary-select tree over sublane halves of the (256, 1) int32
+        table.  Selects are ARITHMETIC (lo + (hi-lo)*bit): broadcasting
+        an i1 mask from (K,1)x(1,L) operands trips a Mosaic relayout
+        ("non-singleton dim replicated in destination"), while int
+        multiply-adds broadcast fine.  All slices are 8-aligned (Mosaic
+        requirement); the last 3 index bits resolve via an arithmetic
+        one-hot (max(0, 1-d^2)) 8-sublane reduction."""
+        lo = t1_ref[pl.ds(0, 128), :]                  # (128, 1) int32
+        hi = t1_ref[pl.ds(128, 128), :]
+        c = lo + (hi - lo) * ((idx >> 7) & 1)          # (128, L)
+        c = c[:64, :] + (c[64:, :] - c[:64, :]) * ((idx >> 6) & 1)
+        c = c[:32, :] + (c[32:, :] - c[:32, :]) * ((idx >> 5) & 1)
+        c = c[:16, :] + (c[16:, :] - c[:16, :]) * ((idx >> 4) & 1)
+        c = c[:8, :] + (c[8:, :] - c[:8, :]) * ((idx >> 3) & 1)
+        d = iota8 - (idx & 7)
+        m = jnp.maximum(0, 1 - d * d)                  # (8, L) one-hot
+        return jnp.sum(c * m, axis=0, keepdims=True)
+
+    def transition(s, b):
+        """bit ? one[s] : zero[s] via the single-table identity."""
+        idx = jnp.where(b == 1, s, (256 - s) & 0xFF)
+        t = lookup_one(idx)
+        return jnp.where(b == 1, t, (256 - t) & 0xFF)
 
     def pixel(i, _):
         # coder state and the low/range chain run on (1, L) ROW vectors:
@@ -75,14 +111,12 @@ def _kernel(bits, L, CC, CH, S, order, compact,
         rng = rngv[pl.ds(0, 1), :]
         vR = diff_ref[pl.ds(i, 1), :]                          # (1, L)
         apxR = act_ref[pl.ds(i, 1), :]                         # (1, L)
-        v = jnp.transpose(vR)                                  # (L, 1)
 
         # Packed state layout: each (8, 128) tile holds 32 context rows
         # (8 sublanes x 4 lane-groups of 32).  Row c lives at tile c>>5,
         # sublane (c>>2)&7, lane group c&3.  Dynamic indices stay
         # sublane-aligned; group selection is mask-based (no lane-offset
         # slices — those trip Mosaic).
-        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
         row_list = []
         blocks = []
         subs = []
@@ -104,44 +138,57 @@ def _kernel(bits, L, CC, CH, S, order, compact,
             groups.append(group)
         rows8 = jnp.concatenate(row_list, 0)      # (L, 32) int8 (wrapped)
 
-        a = jnp.abs(v)
-        e = 31 - jax.lax.clz(jnp.maximum(a, 1).astype(jnp.uint32)) \
-            .astype(jnp.int32)
-        vL = v                                     # (L, 1)
-        aL = a
-        eL = e
-        nzL = vL != 0
-        apxL = jnp.transpose(apxR) != 0
-        is_exp = (pos32 >= 1) & (pos32 <= 10)
-        is_man = pos32 >= 22
-        act32 = ((pos32 == 0) |
-                 (is_exp & nzL & (pos32 - 1 <= eL)) |
-                 ((pos32 >= 11) & (pos32 <= 21) & nzL &
-                  (pos32 == 11 + eL)) |
-                 (is_man & nzL & (pos32 - 22 < eL))) & apxL
-        bit32 = jnp.where(
-            pos32 == 0, (~nzL).astype(jnp.int32),
-            jnp.where(is_exp, (pos32 - 1 < eL).astype(jnp.int32),
-                      jnp.where(is_man,
-                                (aL >> jnp.clip(pos32 - 22, 0, 30)) & 1,
-                                (vL < 0).astype(jnp.int32))))
+        # all chain/transition math in (32, L) / (1, L) row orientation
+        rowsT = jax.lax.dot_general(
+            eye32, rows8.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32) & 0xFF
 
-        onehot = (rows8[..., None] == iota256.astype(jnp.int8)
-                  .reshape(1, 1, 256)).astype(jnp.int8) \
-            .reshape(L * 32, 256)
-        # two separate contractions against separate (256, 1) tables:
-        # any minor-dim offset slice (t01[..., 1] / tboth[:, 1:2])
-        # crashes Mosaic's VectorLayoutInferer
-        t0 = jax.lax.dot_general(
-            onehot, t0_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32).reshape(L, 32)
-        t1 = jax.lax.dot_general(
-            onehot, t1_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32).reshape(L, 32)
-        new_rows8 = jnp.where(act32,
-                              jnp.where(bit32 == 1, t1, t0)
-                              .astype(jnp.int8),
-                              rows8)
+        aR = jnp.abs(vR)
+        eR = 31 - jax.lax.clz(jnp.maximum(aR, 1).astype(jnp.uint32)) \
+            .astype(jnp.int32)
+        nzR = vR != 0
+        apxB = apxR != 0
+        is_expT = (posT >= 1) & (posT <= 10)
+        is_manT = posT >= 22
+        actT = ((posT == 0) |
+                (is_expT & nzR & (posT - 1 <= eR)) |
+                (is_manT & nzR & (posT - 22 < eR))) & apxB
+        bitT = jnp.where(
+            posT == 0, (~nzR).astype(jnp.int32),
+            jnp.where(is_expT, (posT - 1 < eR).astype(jnp.int32),
+                      (aR >> jnp.clip(posT - 22, 0, 30)) & 1))
+
+        # sign: exactly one of rows 11..11+e_max codes (v < 0), at
+        # row 11+e (ffv1enc.c:217-228) — one dynamic step
+        signsel = posT == (11 + eR)                      # (32, L)
+        s_sign = jnp.sum(jnp.where(signsel, rowsT, 0), axis=0,
+                         keepdims=True)                  # (1, L)
+        sign_bit = (vR < 0).astype(jnp.int32)
+        sign_act = nzR & apxB
+
+        # per-position transitions (independent of the low/range chain:
+        # state indices touched within a pixel are pairwise distinct)
+        news = {p: transition(rowsT[p:p + 1, :], bitT[p:p + 1, :])
+                for p in order}
+        new_sign = transition(s_sign, sign_bit)
+
+        base = jnp.where(signsel & sign_act,
+                         jnp.broadcast_to(new_sign, (32, L)), rowsT)
+        rows_new = []
+        for p in range(32):
+            if p in news:
+                rows_new.append(jnp.where(actT[p:p + 1, :], news[p],
+                                          base[p:p + 1, :]))
+            else:
+                rows_new.append(base[p:p + 1, :])
+        new_rowsT = jnp.concatenate(rows_new, 0)         # (32, L) int32
+
+        # transpose back to (L, 32) for the per-lane write loop
+        new_rows8 = jax.lax.dot_general(
+            new_rowsT.astype(jnp.bfloat16), eye32,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32) & 0xFF
+        new_rows8 = new_rows8.astype(jnp.int8)
 
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         if L % 8:
@@ -149,7 +196,7 @@ def _kernel(bits, L, CC, CH, S, order, compact,
                 [new_rows8, jnp.zeros((8 - L % 8, 32), jnp.int8)], axis=0)
         for lane in range(L):
             ci = ctx_ref[i, lane]
-            base = pl.multiple_of((ci >> 5) * 8, 8)
+            base_r = pl.multiple_of((ci >> 5) * 8, 8)
             # lane's row from new_rows: 8-aligned STATIC slice (vreg
             # pick, free) + constant-mask sublane select — row-offset
             # (non-aligned) slices trip Mosaic layout inference, and a
@@ -162,34 +209,11 @@ def _kernel(bits, L, CC, CH, S, order, compact,
             wmask = (iota8 == subs[lane]) & \
                 ((lane128 >> 5) == groups[lane])         # (8, 128)
             nb = jnp.where(wmask, nr128, blocks[lane])
-            states[lane, pl.ds(base, 8), :] = nb
-
-        # chain-side masks and state values in (32, L) row orientation
-        aR = jnp.transpose(a)                      # (1, L)
-        eR = jnp.transpose(e)
-        nzR = vR != 0
-        is_expT = (posT >= 1) & (posT <= 10)
-        is_manT = posT >= 22
-        actT = ((posT == 0) |
-                (is_expT & nzR & (posT - 1 <= eR)) |
-                ((posT >= 11) & (posT <= 21) & nzR &
-                 (posT == 11 + eR)) |
-                (is_manT & nzR & (posT - 22 < eR))) & (apxR != 0)
-        bitT = jnp.where(
-            posT == 0, (~nzR).astype(jnp.int32),
-            jnp.where(is_expT, (posT - 1 < eR).astype(jnp.int32),
-                      jnp.where(is_manT,
-                                (aR >> jnp.clip(posT - 22, 0, 30)) & 1,
-                                (vR < 0).astype(jnp.int32))))
-        rowsT = jax.lax.dot_general(
-            eye32, rows8.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32) & 0xFF
+            states[lane, pl.ds(base_r, 8), :] = nb
 
         outs = []
-        for p in order:
-            aj = actT[p:p + 1, :]                  # (1, L)
-            s = rowsT[p:p + 1, :]
-            b = bitT[p:p + 1, :]
+
+        def chain_step(aj, s, b, low, rng):
             r1 = (rng * s) >> 8
             nr = jnp.where(b == 1, r1, rng - r1)
             nl = low + jnp.where(b == 1, rng - r1, 0)
@@ -197,11 +221,18 @@ def _kernel(bits, L, CC, CH, S, order, compact,
             pv = ((nl >> 8) |
                   jnp.where((nl & 0xFF) != 0, 1 << 16, 0)) + \
                 emit.astype(jnp.int32) * (1 << 20)
-            outs.append(pv)
             nl = jnp.where(emit, (nl & 0xFF) << 8, nl)
             nr = jnp.where(emit, nr << 8, nr)
             low = jnp.where(aj, nl, low)
             rng = jnp.where(aj, nr, rng)
+            return pv, low, rng
+
+        for p in order:
+            pv, low, rng = chain_step(actT[p:p + 1, :], rowsT[p:p + 1, :],
+                                      bitT[p:p + 1, :], low, rng)
+            outs.append(pv)
+        pv, low, rng = chain_step(sign_act, s_sign, sign_bit, low, rng)
+        outs.append(pv)
 
         if compact:
             # per-pixel slot compaction in-kernel: >99.99% of pixels
@@ -215,7 +246,7 @@ def _kernel(bits, L, CC, CH, S, order, compact,
             val = (allv >> 20) & 1
             # exclusive running count via a strict-lower-triangular MXU
             # contraction (cumsum has no Pallas-TPU lowering); counts
-            # <= S=24 are bf16-exact
+            # <= S are bf16-exact
             r_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
             c_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
             tri = (c_i < r_i).astype(jnp.bfloat16)
@@ -251,14 +282,17 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
     CC_real = states0.shape[1]
     NB = -(-CC_real // 32)               # 32 context rows per (8,128) tile
     CC = NB * 8                          # scratch sublane count
-    order = chain_order(bits)
-    S = len(order)
+    order = chain_order_nosign(bits)
+    S = len(order) + 1                   # + the collapsed sign slot
     SOUT = 8 if compact else S
     assert N % chunk == 0
     nsteps = N // chunk
 
-    t0_tab = zero_tab.astype(jnp.int8)[:, None]   # (256, 1)
-    t1_tab = one_tab.astype(jnp.int8)[:, None]
+    # single-table transitions: zero_tab is derived from one_tab by the
+    # normative identity (see module docstring); zero_tab stays in the
+    # signature for API compatibility with the XLA kernels
+    del zero_tab
+    t1_tab = one_tab.astype(jnp.int32)[:, None]   # (256, 1)
 
     kernel = functools.partial(_kernel, bits, L, CC, chunk, S, order,
                                compact)
@@ -272,7 +306,6 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
                          memory_space=pltpu.VMEM),      # diff
             pl.BlockSpec((chunk, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),      # act
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # t0
             pl.BlockSpec(memory_space=pltpu.VMEM),      # t1
             pl.BlockSpec(memory_space=pltpu.VMEM),      # states0
             pl.BlockSpec(memory_space=pltpu.VMEM),      # low0
@@ -311,7 +344,7 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
             jax.ShapeDtypeStruct((L, CC, 128), jnp.int8),
         ],
     )(ctx.T.astype(jnp.int32), diff.T.astype(jnp.int32),
-      active.T.astype(jnp.int32), t0_tab, t1_tab, states0_pad,
+      active.T.astype(jnp.int32), t1_tab, states0_pad,
       low0[None, :].astype(jnp.int32), range0[None, :].astype(jnp.int32))
     prov, low, rng, states_out = res
 
@@ -353,7 +386,7 @@ def rc_encode_pallas_compact(ctx, diff, active, states0, one_tab,
 def rc_encode_pallas(ctx, diff, active, states0, one_tab, zero_tab,
                      low0, range0, bits: int, chunk: int = 512):
     """rc_encode_scan_lanes-compatible wrapper: prov/valid unpacked to
-    (N, L, S).  Prefer rc_encode_pallas_compact + finalize_compact in
+    (N, L, S).  Prefer rc_encode_pallas_packed + finalize_packed in
     the production pipeline."""
     prov, low, rng, states_u8 = rc_encode_pallas_packed(
         ctx, diff, active, states0, one_tab, zero_tab, low0, range0,

@@ -50,6 +50,21 @@ def slot_count(bits: int) -> int:
     return len(chain_order(bits))
 
 
+def chain_order_nosign(bits: int):
+    """chain_order without the sign-candidate positions (11..11+e_max).
+
+    Exactly one sign position is active per nonzero pixel (p == 11+e),
+    so kernels can fold all of them into ONE dynamic chain step (state
+    row selected by a (posT == 11+e) masked reduction) instead of
+    e_max+1 static steps — ~30% fewer chain slots and transitions for
+    8-bit.  The sign step comes last, matching put_symbol coding order
+    (ffv1enc.c:185-231)."""
+    e_max = bits - 1
+    assert e_max <= 9
+    return [0] + list(range(1, e_max + 2)) + \
+        list(range(22 + e_max - 1, 21, -1))
+
+
 @functools.partial(jax.jit, static_argnames=("bits",))
 def rc_encode_scan_fast(ctx, diff, active, states0, one_tab, zero_tab,
                         low0, range0, bits: int):

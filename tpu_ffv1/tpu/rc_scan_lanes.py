@@ -396,8 +396,10 @@ def finalize_packed(packed, low, rng, prefix, prefix_len):
     provisional value.  Per-pixel slot compaction to S2 slots is done
     with masked reductions (fused by XLA into one pass over the array)
     instead of a sort; returns (bytes uint8[L, T], count int32[L],
-    overflow bool[]) — on overflow (a pixel emitted > S2 bytes, <1e-4
-    of pixels) the caller must take the full-width path.
+    overflow bool[L]) — on a lane's overflow (a pixel emitted > S2
+    bytes, <1e-4 of pixels) the caller must take the full-width path.
+    Overflow is per-lane so the whole finalize shards over a device
+    mesh with no collective (tpu/sharding.py).
     """
     S2 = 4
     N, S, L = packed.shape
@@ -406,7 +408,7 @@ def finalize_packed(packed, low, rng, prefix, prefix_len):
     cnt_inc = jnp.cumsum(valid, axis=1)
     cnt_exc = cnt_inc - valid
     total_pix = cnt_inc[:, -1, :]                         # (N, L)
-    overflow = jnp.max(total_pix) > S2
+    overflow = jnp.max(total_pix, axis=0) > S2            # (L,)
     slots = jnp.stack(
         [jnp.sum(pv * valid * (cnt_exc == k), axis=1) for k in range(S2)],
         axis=1)                                           # (N, S2, L)
@@ -425,14 +427,14 @@ def finalize_compact(cm, low, rng, prefix, prefix_len):
 
     cm: int32[N, 8, L] rows [slot0..slot3 (prov_value format), count,
     overflow, 0, 0].  Returns (bytes uint8[L, T], count int32[L],
-    overflow bool[]) — on overflow the caller must re-encode the frame
+    overflow bool[L]) — on overflow the caller must re-encode the frame
     on the XLA scan path (the raw slots no longer exist).
     """
     S2 = 4
     N, _, L = cm.shape
     slots = cm[:, :S2, :]                                 # (N, 4, L)
     total_pix = cm[:, S2, :]                              # (N, L)
-    overflow = jnp.max(cm[:, S2 + 1, :]) > 0
+    overflow = jnp.max(cm[:, S2 + 1, :], axis=0) > 0      # (L,)
     vld = (jnp.arange(S2, dtype=jnp.int32)[None, :, None]
            < total_pix[:, None, :])
     flat_b = jnp.transpose(slots, (2, 0, 1)).reshape(L, N * S2)
