@@ -107,6 +107,57 @@ def bench_host(frames):
     return 1920 * 1080 / dt / 1e6
 
 
+def bench_tpu_decode(frames, budget_s=600.0):
+    """Lane-major batched TPU decode throughput (archival read-back)."""
+    from tpu_ffv1.codec.encoder import FFV1Encoder
+    from tpu_ffv1.codec.params import EncoderParams
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+
+    batch = int(os.environ.get("FFV1_BENCH_BATCH", "4"))
+    enc = FFV1Encoder(EncoderParams(
+        width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
+        slices=24))
+    pkts = [enc.encode_frame(f)[0] for f in frames]
+    dec = TPUFFV1Decoder(1920, 1080, enc.extradata, batch=batch)
+    t0 = time.time()
+    dec.decode_frames([pkts[0]] * batch)
+    log(f"decode first step (compile): {time.time() - t0:.1f}s")
+    n_steps = max(len(pkts), 6)
+    t0 = time.time()
+    n = 0
+    dec.submit_frames([pkts[1 % len(pkts)]] * batch)
+    dec.submit_frames([pkts[2 % len(pkts)]] * batch)
+    for k in range(3, n_steps + 3):
+        dec.collect_frames()
+        n += 1
+        if k < n_steps + 1:
+            dec.submit_frames([pkts[k % len(pkts)]] * batch)
+        if time.time() - t0 > budget_s and not dec._pending:
+            break
+    dt = (time.time() - t0) / max(n, 1)
+    log(f"tpu decode steady: {dt * 1000:.0f} ms/step "
+        f"({batch} frames/step)")
+    return batch * 1920 * 1080 / dt / 1e6
+
+
+def bench_host_decode(frames):
+    from tpu_ffv1.codec.encoder import FFV1Encoder
+    from tpu_ffv1.codec.decoder import FFV1Decoder
+    from tpu_ffv1.codec.params import EncoderParams
+
+    enc = FFV1Encoder(EncoderParams(
+        width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
+        slices=24))
+    pkts = [enc.encode_frame(f)[0] for f in frames[:3]]
+    dec = FFV1Decoder(1920, 1080, enc.extradata)
+    dec.decode_frame(pkts[0])  # warm
+    t0 = time.time()
+    for p in pkts[1:3]:
+        dec.decode_frame(p)
+    dt = (time.time() - t0) / 2
+    return 1920 * 1080 / dt / 1e6
+
+
 def main():
     frames = synth_1080p()
     try:
@@ -114,6 +165,11 @@ def main():
         log(f"host native engine: {host:.2f} Mpixel/s")
     except Exception as e:
         log(f"host bench failed: {e}")
+    try:
+        hostd = bench_host_decode(frames)
+        log(f"host native decode: {hostd:.2f} Mpixel/s")
+    except Exception as e:
+        log(f"host decode bench failed: {e}")
     mpix = None
     for attempt in range(2):
         try:
@@ -124,12 +180,22 @@ def main():
     if mpix is None:
         log("tpu unavailable; reporting host path")
         mpix = bench_host(frames)
-    print(json.dumps({
+    dec_mpix = None
+    if not os.environ.get("FFV1_BENCH_SKIP_DECODE"):
+        try:
+            dec_mpix = bench_tpu_decode(frames)
+            log(f"tpu decode: {dec_mpix:.2f} Mpixel/s")
+        except Exception as e:
+            log(f"tpu decode bench failed ({e})")
+    out = {
         "metric": "ffv1_encode_1080p_mpix_s",
         "value": round(mpix, 3),
         "unit": "Mpixel/s",
         "vs_baseline": round(mpix / BASELINE_MPIX_S, 4),
-    }))
+    }
+    if dec_mpix is not None:
+        out["decode_mpix_s"] = round(dec_mpix, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

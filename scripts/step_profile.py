@@ -42,8 +42,10 @@ def main():
     for rep in range(3):
         streams = [frames[(i + rep + 1) % 4] for i in range(batch)]
         t0 = time.time()
-        dev = tuple(tuple(jnp.asarray(np.asarray(p)) for p in s)
-                    for s in streams)
+        # stacked per plane type, matching submit_frames
+        nplanes = len(streams[0])
+        dev = tuple(jnp.asarray(np.stack([np.asarray(s[k]) for s in streams]))
+                    for k in range(nplanes))
         jax.block_until_ready(dev)
         t1 = time.time()
         keyframe = False

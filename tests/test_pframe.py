@@ -1,4 +1,12 @@
-"""Experimental motion-compensated FFV1-P extension (pframe/)."""
+"""Experimental motion-compensated FFV1-P extension (pframe/).
+
+Round-2 format: single integrated FFV1-structured bitstream per packet
+(slice payloads + footers + CRC), OBMC prediction, rate-aware motion
+search, per-block intra/inter, persistent MV/residual contexts across
+the GOP.
+"""
+import hashlib
+
 import numpy as np
 import pytest
 
@@ -9,17 +17,17 @@ from tpu_ffv1.pframe.codec import FFV1PDecoder, FFV1PEncoder
 W, H = 96, 80
 
 
-def _panning_texture(n=6, dx=5, dy=3):
+def _panning_texture(n=6, dx=5, dy=3, w=W, h=H):
     """Random texture translating per frame: ideal for MC, worst case for
     pure context carry-over (texture must be re-coded intra)."""
     rng = np.random.RandomState(9)
-    big = rng.randint(0, 256, (H + n * abs(dy) + 8,
-                               W + n * abs(dx) + 8)).astype(np.uint8)
+    big = rng.randint(0, 256, (h + n * abs(dy) + 8,
+                               w + n * abs(dx) + 8)).astype(np.uint8)
     frames = []
     for t in range(n):
-        y = big[t * dy:t * dy + H, t * dx:t * dx + W].copy()
-        u = np.full((H // 2, W // 2), 100, np.uint8)
-        v = np.full((H // 2, W // 2), 160, np.uint8)
+        y = big[t * dy:t * dy + h, t * dx:t * dx + w].copy()
+        u = np.full((h // 2, w // 2), 100, np.uint8)
+        v = np.full((h // 2, w // 2), 160, np.uint8)
         frames.append([y, u, v])
     return frames
 
@@ -33,14 +41,16 @@ def test_requires_experimental_gate():
 def test_pframe_lossless_and_beats_intra_on_panning():
     frames = _panning_texture()
     params = EncoderParams(width=W, height=H, pix_fmt="yuv420p", level=3,
-                           coder=2, slices=4, gop_size=len(frames))
+                           coder=2, slices=4, gop_size=len(frames),
+                           slicecrc=1)
     enc = FFV1PEncoder(params, radius=7, experimental=True)
-    dec = FFV1PDecoder(W, H, enc.extradata, enc.res_extradata)
+    dec = FFV1PDecoder(W, H, enc.extradata)
     total_mc = 0
     for f in frames:
         pkt, key = enc.encode_frame(f)
         total_mc += len(pkt)
-        planes, _ = dec.decode_frame(pkt)
+        planes, k2 = dec.decode_frame(pkt)
+        assert k2 == key
         for a, b in zip(planes, f):
             assert np.array_equal(np.asarray(a, np.int64),
                                   np.asarray(b, np.int64))
@@ -49,3 +59,83 @@ def test_pframe_lossless_and_beats_intra_on_panning():
     total_base = sum(len(base.encode_frame(f)[0]) for f in frames)
     # motion compensation must clearly win on panning random texture
     assert total_mc < total_base * 0.75, (total_mc, total_base)
+
+
+def test_pframe_gray_odd_dims_lossless():
+    w, h = 83, 57   # odd dims: slice/block padding paths
+    frames = _panning_texture(n=4, w=w + (w % 2), h=h + (h % 2))
+    frames = [[f[0][:h, :w]] for f in frames]
+    params = EncoderParams(width=w, height=h, pix_fmt="gray8", level=3,
+                           coder=2, slices=4, gop_size=4)
+    enc = FFV1PEncoder(params, radius=4, experimental=True)
+    dec = FFV1PDecoder(w, h, enc.extradata)
+    for f in frames:
+        pkt, _ = enc.encode_frame(f)
+        planes, _ = dec.decode_frame(pkt)
+        assert np.array_equal(planes[0], f[0])
+
+
+def test_pframe_keyframe_is_plain_ffv1():
+    """Keyframes must stay byte-identical to the base encoder — they are
+    the seek points and must decode on any stock-FFV1 decoder."""
+    frames = _panning_texture(n=2)
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv420p", level=3,
+                           coder=2, slices=4, gop_size=8, slicecrc=1)
+    enc = FFV1PEncoder(params, experimental=True)
+    base = FFV1Encoder(params)
+    pkt, key = enc.encode_frame(frames[0])
+    want, _ = base.encode_frame(frames[0])
+    assert key and pkt == want
+
+
+def test_pframe_trasher_conceals():
+    """Corrupted P-frame slices must be CRC-detected and concealed from
+    the previous picture (ffv1dec.c:963-980, :1001-1021), staying
+    damaged until the next keyframe."""
+    frames = _panning_texture(n=3)
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv420p", level=3,
+                           coder=2, slices=4, gop_size=8, slicecrc=1)
+    enc = FFV1PEncoder(params, experimental=True)
+    dec = FFV1PDecoder(W, H, enc.extradata)
+    pkts = [enc.encode_frame(f)[0] for f in frames]
+    prev, _ = dec.decode_frame(pkts[0])
+
+    # LCG byte flips mid-packet (tools/trasher.c style)
+    bad = bytearray(pkts[1])
+    state = 12345
+    for _ in range(4):
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        pos = 8 + state % (len(bad) - 16)
+        bad[pos] ^= 0x5A
+    planes, _ = dec.decode_frame(bytes(bad))
+    assert dec.slice_damaged.any(), "corruption must be detected"
+    for si, flag in enumerate(dec.slice_damaged):
+        if not flag:
+            continue
+        g = dec.base.slices[si].geom
+        got = np.asarray(planes[0][g.y:g.y + g.height, g.x:g.x + g.width])
+        want = np.asarray(prev[0][g.y:g.y + g.height, g.x:g.x + g.width])
+        assert np.array_equal(got, want)
+
+
+def test_pframe_format_golden():
+    """Format stability: the P-frame bitstream for a fixed fixture must
+    not drift across refactors (deterministic search + integer OBMC)."""
+    frames = _panning_texture(n=3)
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv420p", level=3,
+                           coder=2, slices=4, gop_size=8, slicecrc=1)
+    enc = FFV1PEncoder(params, experimental=True)
+    digest = hashlib.sha256()
+    for f in frames:
+        pkt, _ = enc.encode_frame(f)
+        digest.update(pkt)
+    got = digest.hexdigest()
+    import os
+    golden_path = os.path.join(os.path.dirname(__file__), "..", "goldens",
+                               "pframe_v2.sha256")
+    if os.path.exists(golden_path):
+        want = open(golden_path).read().strip()
+        assert got == want, f"P-frame format drifted: {got} != {want}"
+    else:  # first run mints the golden
+        with open(golden_path, "w") as fh:
+            fh.write(got + "\n")

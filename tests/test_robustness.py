@@ -130,8 +130,8 @@ def test_tpu_decoder_crc_conceals():
     bad = bytearray(pkts[1])
     _lcg_trash(bad, seed=123, n_flips=4)
     planes, _ = dec.decode_frame(bytes(bad))
-    assert any(dec.slice_damaged), "corruption must be detected"
-    for si, flag in enumerate(dec.slice_damaged):
+    assert dec.slice_damaged[0].any(), "corruption must be detected"
+    for si, flag in enumerate(dec.slice_damaged[0]):
         if not flag:
             continue
         g = dec.geoms[si]

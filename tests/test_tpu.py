@@ -172,3 +172,41 @@ def test_tpu_pipelined_submit_collect_byte_exact():
     assert len(got) == len(want)
     for t, ((wp, wk), (gp, gk)) in enumerate(zip(want, got)):
         assert wk == gk and wp == gp, f"frame {t}"
+
+
+def test_tpu_batch_decode_lossless():
+    """Lane-major batched decode: independent streams decode in lockstep
+    losslessly, with GOP context inheritance riding device states."""
+    B = 2
+    streams = [_frames(8, seed=30 + b) for b in range(B)]
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv420p", level=3,
+                           coder=2, slices=4, gop_size=2, slicecrc=1)
+    encs = [FFV1Encoder(params) for _ in range(B)]
+    dec = TPUFFV1Decoder(W, H, encs[0].extradata, batch=B)
+    for t in range(3):
+        pkts = [encs[b].encode_frame(streams[b][t])[0] for b in range(B)]
+        results = dec.decode_frames(pkts)
+        for b in range(B):
+            planes, _ = results[b]
+            for a, want in zip(planes, streams[b][t]):
+                assert np.array_equal(a, want), f"stream {b} frame {t}"
+
+
+def test_tpu_decode_pipeline_overlap():
+    """submit/collect decode pipelining returns the same frames as the
+    synchronous path."""
+    frames = _frames(8, seed=41)
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv420p", level=3,
+                           coder=2, slices=4, gop_size=3)
+    enc = FFV1Encoder(params)
+    pkts = [enc.encode_frame(f)[0] for f in frames]
+    dec = TPUFFV1Decoder(W, H, enc.extradata)
+    dec.submit_frames([pkts[0]])
+    dec.submit_frames([pkts[1]])   # one frame in flight while collecting
+    got0 = dec.collect_frames()[0][0]
+    dec.submit_frames([pkts[2]])
+    got1 = dec.collect_frames()[0][0]
+    got2 = dec.collect_frames()[0][0]
+    for got, want in zip((got0, got1, got2), frames):
+        for a, b in zip(got, want):
+            assert np.array_equal(a, b)

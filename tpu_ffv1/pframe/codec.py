@@ -1,38 +1,134 @@
 """Experimental motion-compensated FFV1-P codec (framework extension).
 
-Stream layout (NOT interoperable with stock FFV1 — this is the fork's
-unfinished direction, shipped here behind experimental=True):
+The fork's direction (SURVEY §0.3, §2.4): FFV1 inter frames with block
+motion compensation built from the reference's motion machinery —
+SAD search (motion_est.c:904), OBMC prediction (snow.c:327
+ff_snow_pred_block / snow.h:279 add_yblock) — wired into an
+FFV1-STRUCTURED bitstream.  Gated behind experimental=True exactly as
+the reference gates unfinished versions (ffv1enc.c:703-706).
 
-  packet := keyframe_flag_rac | [mv_section] | ffv1_residual_payload
+Stream layout (round 2 — single integrated bitstream):
 
-  * Keyframes are plain FFV1 intra packets (byte-identical to the base
-    encoder) — they remain the seek/recovery points (SURVEY §5
-    checkpoint semantics).
-  * P-frame packets start with a range-coded motion-vector section: per
-    plane, per 16x16 block, (dy, dx) as signed symbols under a fresh
-    32-state context; then the standard FFV1 slice machinery codes the
-    residual (cur - mc_pred) folded to bits+1 width (the RGB-plane
-    trick, ffv1enc.c:464-467).
+  * Keyframes are plain FFV1 intra packets, byte-identical to the base
+    encoder — the seek/recovery points (SURVEY §5).
+  * P-frame packets reuse the full FFV1 packet STRUCTURE: the keyframe
+    rac bit (0), then per-slice payloads each ending in the 3-byte
+    length footer + optional CRC (ffv1enc.c:1326-1354).  One slice
+    payload is a single range-coder stream:
 
-Motion search runs on device (pframe/motion.py); residual coding uses
-the host engine (native/spec) or can be routed to the TPU path.
+      slice_header            (write_slice_header, ffv1enc.c:1031-1062)
+      per 16x16 luma block of the slice (row-major):
+        inter_flag            (put_rac, persistent per-slice state)
+        if inter: d_dy, d_dx  (signed put_symbol vs the previous
+                               frame's MV of the same block, persistent
+                               per-slice contexts)
+      residual planes         (encode_plane at bits+1 width — the RGB
+                               offset trick, ffv1enc.c:464-467 — with
+                               per-slice plane states persistent across
+                               the GOP, cleared only at keyframes)
+      sentinel + terminate    (ffv1enc.c:1331-1334)
+
+  * Prediction is OBMC: each pixel blends the MC predictions of its 4
+    nearest block neighbors with exact-integer bilinear tent weights
+    (sum 4B^2; partition of unity), the TPU-idiomatic analog of snow's
+    add_yblock window.  Intra blocks predict the bit-depth midpoint.
+  * Motion search is rate-aware: cost = SAD + LAMBDA * |mv - mv_prev|
+    where mv_prev is the same block's previous-frame vector — the same
+    predictor the MV deltas are coded against.  Chroma reuses luma MVs
+    scaled by the subsampling shifts (no extra side info).
+
+Slices stay fully independent (motion search, OBMC and all contexts are
+per-slice), preserving the slice-parallel/trasher-concealment properties
+of the base codec; damaged P slices conceal from the previous picture
+and stay damaged until the next keyframe (ffv1dec.c:1001-1021).
 """
 from __future__ import annotations
 
 import numpy as np
 
+from ..bitstream.headers import read_slice_header, write_slice_header
 from ..bitstream.symbols import get_symbol, put_symbol
+from ..codec.context import clear_slice_state
 from ..codec.decoder import FFV1Decoder
 from ..codec.encoder import FFV1Encoder
 from ..codec.params import EncoderParams
+from ..core import tables as T
+from ..core.crc import crc32_ieee
+from ..core.intmath import ceil_rshift
 from ..core.rac import RangeDecoder, RangeEncoder, default_state_tables
-from .motion import (block_motion_search, motion_compensate, pad_to_block)
+from .motion import block_motion_search_cost, pad_to_block
 
 BLOCK = 16
+LAMBDA = 16         # rate weight: SAD units per |mv delta| component
+
+
+class _Bits9View:
+    """Attribute view of a ResolvedParams/decoder forcing LSB-packed
+    sample IO: residuals are raw (bits+1)-wide integers, not
+    MSB-justified 16-bit samples."""
+
+    packed_at_lsb = True
+
+    def __init__(self, rp):
+        self._rp = rp
+
+    def __getattr__(self, k):
+        return getattr(self._rp, k)
+
+
+def obmc_predict(ref_pad: np.ndarray, mvs: np.ndarray,
+                 intra: np.ndarray, mid: int,
+                 block_y: int = BLOCK, block_x: int = BLOCK):
+    """Overlapped-block MC with exact-integer bilinear tent weights.
+
+    Each pixel blends the predictions of its 2x2 nearest block centers
+    (weights sum to 4*By*Bx = 1 << 10 for B=16 — snow.h:48
+    LOG2_OBMC_MAX analog).  ``ref_pad``: (H, W) int array padded to
+    block multiples; ``mvs``: (bh, bw, 2); ``intra``: (bh, bw) bool —
+    intra blocks contribute the constant ``mid``.  Blocks may be
+    rectangular (chroma under 422-style subsampling).  Returns int32
+    (H, W).
+    """
+    H, W = ref_pad.shape
+    bh, bw = H // block_y, W // block_x
+    y = np.arange(H)
+    x = np.arange(W)
+    # block-center coordinates scaled by 2B: center of block i at
+    # (2i+1)B; pixel y sits at 2y+1
+    ty = (2 * y + 1 - block_y) // (2 * block_y)      # top neighbor row
+    wy1 = (2 * y + 1 - block_y) - ty * 2 * block_y   # 0..2B-1 (bottom w)
+    tx = (2 * x + 1 - block_x) // (2 * block_x)
+    wx1 = (2 * x + 1 - block_x) - tx * 2 * block_x
+    acc = np.zeros((H, W), np.int64)
+    for dy in (0, 1):
+        iy = np.clip(ty + dy, 0, bh - 1)
+        wy = np.where(dy == 0, 2 * block_y - wy1, wy1)[:, None]
+        for dx in (0, 1):
+            ix = np.clip(tx + dx, 0, bw - 1)
+            wx = np.where(dx == 0, 2 * block_x - wx1, wx1)[None, :]
+            byx = iy[:, None].repeat(W, 1), ix[None, :].repeat(H, 0)
+            mv = mvs[byx[0], byx[1]]                 # (H, W, 2)
+            ys = np.clip(y[:, None] + mv[..., 0], 0, H - 1)
+            xs = np.clip(x[None, :] + mv[..., 1], 0, W - 1)
+            p = ref_pad[ys, xs].astype(np.int64)
+            p = np.where(intra[byx[0], byx[1]], mid, p)
+            acc += wy.astype(np.int64) * wx * p
+    shift = 2 + (block_y - 1).bit_length() + (block_x - 1).bit_length()
+    return ((acc + (1 << (shift - 1))) >> shift).astype(np.int32)
+
+
+class _PSliceState:
+    """Per-slice persistent P-frame state (cleared at keyframes)."""
+
+    def __init__(self):
+        self.flag_state = None       # uint8[32] inter/intra rac state
+        self.mv_states = None        # uint8[2, 32] dy/dx symbol contexts
+        self.prev_mvs = None         # int32[bh, bw, 2] previous MV field
+        self.ss = None               # SliceState for residual planes
 
 
 class FFV1PEncoder:
-    """Inter-frame FFV1 with block motion compensation (experimental)."""
+    """Inter-frame FFV1 with OBMC block motion (experimental)."""
 
     def __init__(self, params: EncoderParams, radius: int = 7,
                  experimental: bool = False):
@@ -45,39 +141,42 @@ class FFV1PEncoder:
             raise ValueError("FFV1-P needs gop_size >= 2")
         self.params = params
         self.radius = radius
-        self.intra_enc = FFV1Encoder(params)
-        # residuals span bits+1 (offset-shifted, the RGB-plane trick);
-        # code them through a 9-bit planar variant of the same layout
-        if self.intra_enc.rp.bits_per_raw_sample > 8 or \
-                self.intra_enc.rp.colorspace != 0 or \
-                self.intra_enc.rp.fmt.interleaved:
+        self.base = FFV1Encoder(params)
+        rp = self.base.rp
+        if rp.bits_per_raw_sample > 8 or rp.colorspace != 0 or \
+                rp.fmt.interleaved:
             raise NotImplementedError(
                 "FFV1-P currently supports 8-bit planar YUV/gray input")
-        base = params.pix_fmt
-        sub = {(0, 0): "444", (0, 1): "440", (1, 0): "422",
-               (1, 1): "420"}.get((self.intra_enc.rp.chroma_h_shift,
-                                   self.intra_enc.rp.chroma_v_shift),
-                                  "444")
-        a = "a" if self.intra_enc.rp.transparency else ""
-        res_fmt = (f"yuv{a}{sub}p9le"
-                   if self.intra_enc.rp.chroma_planes or a else "gray16le")
-        res_params = EncoderParams(**{**params.__dict__,
-                                      "pix_fmt": res_fmt, "gop_size": 1})
-        self.res_enc = FFV1Encoder(res_params)
-        self.rp = self.intra_enc.rp
-        self.extradata = self.intra_enc.extradata
-        self.res_extradata = self.res_enc.extradata
+        if rp.ac == T.AC_GOLOMB_RICE:
+            raise NotImplementedError("FFV1-P requires the range coder")
+        if rp.version < 3:
+            raise NotImplementedError("FFV1-P requires version >= 3")
+        self.rp = rp
+        self.extradata = self.base.extradata
         self.picture_number = 0
         self.ref_planes = None
+        self.pstates = [_PSliceState() for _ in self.base.slices]
 
-    def _code_mvs(self, mvs_list) -> bytes:
-        c = RangeEncoder(*default_state_tables())
-        states = np.full(32, 128, dtype=np.uint8)
-        for mvs in mvs_list:
-            arr = np.asarray(mvs)
-            for v in arr.reshape(-1):
-                put_symbol(c, states, int(v), True)
-        return c.terminate()
+    # ---------------------------------------------------------------
+
+    def _search_slice(self, cur_pad, ref_pad, prev_mvs):
+        mvs, sad, cost = block_motion_search_cost(
+            cur_pad, ref_pad, prev_mvs, BLOCK, self.radius, LAMBDA)
+        mvs, sad, cost = (np.asarray(mvs), np.asarray(sad),
+                          np.asarray(cost))
+        # per-block intra/inter decision (motion_est.c:904's mb_var vs
+        # motion cost comparison, simplified): intra when even the best
+        # motion candidate is worse than coding around the block mean
+        B2 = BLOCK * BLOCK
+        blocks = cur_pad.reshape(cur_pad.shape[0] // BLOCK, BLOCK,
+                                 cur_pad.shape[1] // BLOCK, BLOCK) \
+            .transpose(0, 2, 1, 3).astype(np.int32)
+        mean = (blocks.reshape(*blocks.shape[:2], B2).sum(-1) + B2 // 2) \
+            // B2
+        intra_sad = np.abs(blocks - mean[..., None, None]) \
+            .reshape(*blocks.shape[:2], B2).sum(-1)
+        intra = cost > intra_sad + B2    # bias toward inter (MV chain)
+        return mvs, intra
 
     def encode_frame(self, planes):
         planes = [np.asarray(p) for p in planes]
@@ -85,82 +184,284 @@ class FFV1PEncoder:
         self.picture_number += 1
 
         if keyframe:
-            # plain FFV1 intra packet
-            self.intra_enc.picture_number = 0  # force keyframe
-            pkt, _ = self.intra_enc.encode_frame(planes)
+            self.base.picture_number = 0  # force keyframe path
+            pkt, _ = self.base.encode_frame(planes)
             self.ref_planes = [p.copy() for p in planes]
-            return b"K" + pkt, True
+            self.pstates = [_PSliceState() for _ in self.base.slices]
+            return pkt, True
 
-        # motion search + residuals per plane
-        mvs_list = []
-        residuals = []
-        bits = self.rp.bits_per_raw_sample
+        rp = self.rp
+        bits = rp.bits_per_raw_sample
+        mid = 1 << (bits - 1)
         offset = 1 << bits
-        for cur, ref in zip(planes, self.ref_planes):
-            cur_p = pad_to_block(cur, BLOCK)
-            ref_p = pad_to_block(ref, BLOCK)
-            mvs, _sad = block_motion_search(cur_p, ref_p, BLOCK,
-                                            self.radius)
-            pred = np.asarray(motion_compensate(ref_p, mvs, BLOCK))
-            pred = pred[:cur.shape[0], :cur.shape[1]]
-            res = cur.astype(np.int32) - pred + offset  # bits+1 range
-            residuals.append(res.astype(np.uint16))
-            mvs_list.append(np.asarray(mvs))
-        mv_bytes = self._code_mvs(mvs_list)
 
-        # residuals ride the standard FFV1 machinery at bits+1 width
-        self.res_enc.picture_number = 0
-        res_pkt, _ = self.res_enc.encode_frame(
-            self._residual_view(residuals))
+        rc0 = RangeEncoder(*default_state_tables())
+        keystate = np.array([128], dtype=np.uint8)
+        rc0.put_rac(keystate, 0, 0)
+        if rp.ac == T.AC_RANGE_CUSTOM_TAB:
+            rc0.set_tables(*self.base._slice_tables)
+
+        payloads = []
+        for si, ss in enumerate(self.base.slices):
+            rc = rc0 if si == 0 else RangeEncoder(*self.base._slice_tables)
+            payloads.append(self._encode_slice_p(
+                si, planes, rc, mid, offset, bits))
+
+        out = bytearray()
+        for payload in payloads:
+            chunk = bytearray(payload)
+            chunk += len(payload).to_bytes(3, "big")
+            if rp.ec:
+                chunk.append(0)
+                chunk += int(crc32_ieee(bytes(chunk))).to_bytes(4, "little")
+            out += chunk
         self.ref_planes = [p.copy() for p in planes]
-        return (b"P" + len(mv_bytes).to_bytes(3, "big") + mv_bytes +
-                res_pkt), False
+        return bytes(out), False
 
-    def _residual_view(self, residuals):
-        # residual planes are coded as (bits+1)-deep planar data through a
-        # dedicated encoder whose pix_fmt matches dims; we reuse the same
-        # subsampling so plane shapes line up
-        return residuals
+    def _encode_slice_p(self, si, planes, rc, mid, offset, bits):
+        rp = self.rp
+        base_ss = self.base.slices[si]
+        geom = base_ss.geom
+        ps = self.pstates[si]
+
+        # luma slice region, padded to block multiples
+        x, y, w, h = geom.x, geom.y, geom.width, geom.height
+        cur = planes[0][y:y + h, x:x + w]
+        ref = self.ref_planes[0][y:y + h, x:x + w]
+        cur_pad = pad_to_block(cur, BLOCK).astype(np.int32)
+        ref_pad = pad_to_block(ref, BLOCK).astype(np.int32)
+        bh, bw = cur_pad.shape[0] // BLOCK, cur_pad.shape[1] // BLOCK
+
+        if ps.flag_state is None:
+            ps.flag_state = np.full(32, 128, np.uint8)
+            ps.mv_states = np.full((2, 32), 128, np.uint8)
+            ps.prev_mvs = np.zeros((bh, bw, 2), np.int32)
+            import copy
+            ps.ss = copy.deepcopy(base_ss)
+            clear_slice_state(rp, ps.ss)
+
+        mvs, intra = self._search_slice(cur_pad, ref_pad, ps.prev_mvs)
+        mvs = np.where(intra[..., None], 0, mvs)
+
+        # slice header + MV section + residual planes in ONE rac stream
+        ps.ss.slice_coding_mode = 0
+        ps.ss.slice_rct_by_coef = 1
+        ps.ss.slice_rct_ry_coef = 1
+        write_slice_header(rp, ps.ss, rc)
+        for by in range(bh):
+            for bx in range(bw):
+                rc.put_rac(ps.flag_state, 0, 0 if intra[by, bx] else 1)
+                if not intra[by, bx]:
+                    put_symbol(rc, ps.mv_states[0],
+                               int(mvs[by, bx, 0] - ps.prev_mvs[by, bx, 0]),
+                               True)
+                    put_symbol(rc, ps.mv_states[1],
+                               int(mvs[by, bx, 1] - ps.prev_mvs[by, bx, 1]),
+                               True)
+        # inter blocks update the MV predictor field; intra keep it
+        ps.prev_mvs = np.where(intra[..., None], ps.prev_mvs, mvs)
+
+        # residuals at bits+1 through the standard slice plane coder
+        from ..core.golomb import BitWriter
+        jobs = self._residual_jobs(planes, geom, mvs, intra, mid)
+        coder = (rc, BitWriter())
+        rpv = _Bits9View(rp)
+        use_native = self.base.engine == "native"
+        if use_native:
+            from .. import native as N
+            nsc = N.NativeSliceCoder(rp, w * h * 8 + 4096)
+        for (res, pw, ph, pi) in jobs:
+            if use_native:
+                N.encode_plane(rpv, ps.ss, nsc, coder, res, pw, ph, pi,
+                               bits + 1)
+            else:
+                from ..codec.slice_codec import encode_plane
+                encode_plane(rpv, ps.ss, coder, res, pw, ph, pi, bits + 1)
+
+        sentinel = np.array([129], dtype=np.uint8)
+        rc.put_rac(sentinel, 0, 0)
+        return rc.terminate()
+
+    def _residual_jobs(self, planes, geom, mvs, intra, mid):
+        """(residual, w, h, plane_index) per coded plane of one slice."""
+        rp = self.rp
+        bits = rp.bits_per_raw_sample
+        offset = 1 << bits
+        x, y, w, h = geom.x, geom.y, geom.width, geom.height
+        jobs = []
+
+        def res_for(cur, ref, blk, pmvs, pintra, pw, ph, pi):
+            cur_pad = pad_to_block(cur, blk).astype(np.int32)
+            ref_pad = pad_to_block(ref, blk).astype(np.int32)
+            pred = obmc_predict(ref_pad, pmvs, pintra, mid, *blk)
+            res = cur_pad[:ph, :pw] - pred[:ph, :pw] + offset
+            jobs.append((res.astype(np.uint16), pw, ph, pi))
+
+        res_for(planes[0][y:y + h, x:x + w],
+                self.ref_planes[0][y:y + h, x:x + w],
+                (BLOCK, BLOCK), mvs, intra, w, h, 0)
+        if rp.chroma_planes:
+            hs, vs = rp.chroma_h_shift, rp.chroma_v_shift
+            cx, cy = x >> hs, y >> vs
+            cw, ch = ceil_rshift(w, hs), ceil_rshift(h, vs)
+            cblk = (max(BLOCK >> vs, 2), max(BLOCK >> hs, 2))
+            cmvs = np.stack([mvs[..., 0] >> vs, mvs[..., 1] >> hs], -1)
+            for pi, pl in ((1, 1), (1, 2)):
+                res_for(planes[pl][cy:cy + ch, cx:cx + cw],
+                        self.ref_planes[pl][cy:cy + ch, cx:cx + cw],
+                        cblk, cmvs, intra, cw, ch, pi)
+        if rp.transparency:
+            res_for(planes[-1][y:y + h, x:x + w],
+                    self.ref_planes[-1][y:y + h, x:x + w],
+                    (BLOCK, BLOCK), mvs, intra, w, h,
+                    2 if rp.chroma_planes else 1)
+        return jobs
 
 
 class FFV1PDecoder:
-    def __init__(self, width: int, height: int, extradata: bytes,
-                 res_extradata: bytes):
+    """Decoder for the integrated FFV1-P stream."""
+
+    def __init__(self, width: int, height: int, extradata: bytes):
+        from ..core.rac import custom_state_tables
         self.base = FFV1Decoder(width, height, extradata)
-        self.res = FFV1Decoder(width, height, res_extradata)
         self.width = width
         self.height = height
         self.ref_planes = None
+        self.pstates = [_PSliceState() for _ in self.base.slices]
+        self.slice_damaged = np.zeros(len(self.base.slices), bool)
+        st = self.base.state_transition
+        self._tables = custom_state_tables(st) if st is not None \
+            else default_state_tables()
 
     def decode_frame(self, pkt: bytes):
-        tag, body = pkt[:1], pkt[1:]
-        if tag == b"K":
-            planes, _ = self.base.decode_frame(body)
+        f = self.base
+        rc = RangeDecoder(pkt, *default_state_tables())
+        keystate = np.array([128], dtype=np.uint8)
+        keyframe = bool(rc.get_rac(keystate, 0))
+        if keyframe:
+            planes, _ = f.decode_frame(pkt)
             self.ref_planes = [np.asarray(p).copy() for p in planes]
+            self.pstates = [_PSliceState() for _ in f.slices]
+            self.slice_damaged[:] = False
             return planes, True
-        assert tag == b"P", "bad FFV1-P packet tag"
-        mv_len = int.from_bytes(body[:3], "big")
-        mv_bytes = body[3:3 + mv_len]
-        res_pkt = body[3 + mv_len:]
+        if self.ref_planes is None:
+            raise ValueError("cannot decode non-keyframe without keyframe")
 
-        res_planes, _ = self.res.decode_frame(res_pkt)
-
-        c = RangeDecoder(mv_bytes, *default_state_tables())
-        states = np.full(32, 128, dtype=np.uint8)
-        bits = self.base.bits_per_raw_sample
+        rp = f.rp if hasattr(f, "rp") else f
+        bits = f.bits_per_raw_sample
+        mid = 1 << (bits - 1)
         offset = 1 << bits
-        out = []
-        for ref, res in zip(self.ref_planes, res_planes):
-            ref_p = pad_to_block(np.asarray(ref), BLOCK)
-            bh = ref_p.shape[0] // BLOCK
-            bw = ref_p.shape[1] // BLOCK
-            mvs = np.zeros((bh, bw, 2), np.int32)
-            for v in range(bh * bw * 2):
-                mvs.reshape(-1)[v] = get_symbol(c, states, True)
-            pred = np.asarray(motion_compensate(ref_p, mvs, BLOCK))
-            pred = pred[:ref.shape[0], :ref.shape[1]]
-            rec = (pred + np.asarray(res).astype(np.int32) - offset)
-            rec = np.clip(rec, 0, (1 << bits) - 1)
-            out.append(rec.astype(np.asarray(ref).dtype))
+        out = [p.copy() for p in self.ref_planes]
+
+        bounds = self._split_slices(pkt)
+        for si, (start, end) in enumerate(bounds):
+            if f.ec and crc32_ieee(pkt[start:end]) != 0:
+                self.slice_damaged[si] = True
+                continue
+            buf = pkt[start:end] if si else pkt[:end]
+            src = RangeDecoder(buf)
+            src.set_tables(*self._tables)
+            if si == 0:
+                src.low, src.range, src.pos = rc.low, rc.range, rc.pos
+            try:
+                self._decode_slice_p(si, buf, src, out, mid, offset, bits)
+            except (ValueError, IndexError):
+                self.slice_damaged[si] = True
+
+        # concealment: damaged slices keep the previous picture's rect
+        # (out started as a copy of it), matching ffv1dec.c:1001-1021
         self.ref_planes = [p.copy() for p in out]
         return out, False
+
+    def _split_slices(self, pkt: bytes):
+        f = self.base
+        trailer = 3 + 5 * (1 if f.ec else 0)
+        p = len(pkt)
+        bounds = []
+        while len(bounds) < T.MAX_SLICES and p > 3:
+            size = int.from_bytes(pkt[p - trailer:p - trailer + 3], "big")
+            if size + trailer > p:
+                break
+            bounds.append((p - size - trailer, p))
+            p -= size + trailer
+        bounds.reverse()
+        if len(bounds) != len(f.slices):
+            raise ValueError("slice count mismatch")
+        return bounds
+
+    def _decode_slice_p(self, si, buf, src, out, mid, offset, bits):
+        f = self.base
+        ps = self.pstates[si]
+        ss = f.slices[si]
+        geom = ss.geom
+        x, y, w, h = geom.x, geom.y, geom.width, geom.height
+        bh = pad_to_block(np.zeros((h, 1)), BLOCK).shape[0] // BLOCK
+        bw = pad_to_block(np.zeros((1, w)), BLOCK).shape[1] // BLOCK
+
+        fresh = ps.flag_state is None
+        if fresh:
+            ps.flag_state = np.full(32, 128, np.uint8)
+            ps.mv_states = np.full((2, 32), 128, np.uint8)
+            ps.prev_mvs = np.zeros((bh, bw, 2), np.int32)
+            import copy
+            ps.ss = copy.deepcopy(ss)
+
+        qidxs, _ = read_slice_header(f, ps.ss, src)
+        if fresh:
+            f._ensure_plane_states(ps.ss, qidxs)
+            f._clear_slice(ps.ss)
+
+        mvs = np.zeros((bh, bw, 2), np.int32)
+        intra = np.zeros((bh, bw), bool)
+        for by in range(bh):
+            for bx in range(bw):
+                inter = src.get_rac(ps.flag_state, 0)
+                if inter:
+                    mvs[by, bx, 0] = ps.prev_mvs[by, bx, 0] + \
+                        get_symbol(src, ps.mv_states[0], True)
+                    mvs[by, bx, 1] = ps.prev_mvs[by, bx, 1] + \
+                        get_symbol(src, ps.mv_states[1], True)
+                else:
+                    intra[by, bx] = True
+        ps.prev_mvs = np.where(intra[..., None], ps.prev_mvs, mvs)
+
+        # residual planes, then OBMC reconstruction
+        jobs = [(0, w, h, x, y, 0, (BLOCK, BLOCK), mvs)]
+        if f.chroma_planes:
+            hs, vs = f.chroma_h_shift, f.chroma_v_shift
+            cw, ch = ceil_rshift(w, hs), ceil_rshift(h, vs)
+            cblk = (max(BLOCK >> vs, 2), max(BLOCK >> hs, 2))
+            cmvs = np.stack([mvs[..., 0] >> vs, mvs[..., 1] >> hs], -1)
+            jobs.append((1, cw, ch, x >> hs, y >> vs, 1, cblk, cmvs))
+            jobs.append((2, cw, ch, x >> hs, y >> vs, 1, cblk, cmvs))
+        if f.transparency:
+            jobs.append((len(out) - 1, w, h, x, y,
+                         2 if f.chroma_planes else 1, (BLOCK, BLOCK), mvs))
+
+        coder = (src, None)
+        rpv = _Bits9View(f._dec_rp())
+        use_native = getattr(f, "engine", "spec") == "native"
+        if use_native:
+            from .. import native as N
+        for (pl, pw, ph, px, py, pi, blk, pmvs) in jobs:
+            res = np.zeros((ph, pw), np.uint16)
+            if use_native:
+                N.decode_plane(rpv, ps.ss, None, coder, res, pw, ph, pi,
+                               bits + 1, buf)
+            else:
+                from ..codec.slice_codec import decode_plane
+                decode_plane(rpv, ps.ss, coder, res, pw, ph, pi, bits + 1)
+            res = res.astype(np.int32)
+            ref_pad = pad_to_block(
+                np.asarray(self.ref_planes[pl][py:py + ph, px:px + pw]),
+                blk).astype(np.int32)
+            pred = obmc_predict(ref_pad, pmvs, intra, mid, *blk)
+            rec = pred[:ph, :pw] + res - offset
+            rec = np.clip(rec, 0, (1 << bits) - 1)
+            out[pl][py:py + ph, px:px + pw] = rec.astype(out[pl].dtype)
+
+        sentinel = np.array([129], dtype=np.uint8)
+        src.get_rac(sentinel, 0)
+        v = (len(buf) - src.pos) - 2 - 5 * (1 if f.ec else 0)
+        if v:
+            raise ValueError(f"slice {si} bytestream end mismatch by {v}")

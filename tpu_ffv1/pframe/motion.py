@@ -75,6 +75,43 @@ def block_motion_search(cur, ref, block: int = 16, radius: int = 7):
     return mvs, jnp.min(sads, axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("block", "radius", "lam")) \
+    if _HAVE_JAX else (lambda f: f)
+def block_motion_search_cost(cur, ref, prev_mvs, block: int = 16,
+                             radius: int = 7, lam: int = 16):
+    """Rate-aware full-search SAD block matching.
+
+    cost = SAD + lam * (|dy - pdy| + |dx - pdx|) where (pdy, pdx) is the
+    previous frame's vector for the same block — the same predictor the
+    MV deltas are entropy-coded against, so the penalty tracks actual
+    rate (the ff_estimate_p_frame_motion mv_penalty idea,
+    motion_est.c:904, without the serial EPZS candidate chain).
+    Returns (mvs int32[bh, bw, 2], sad, cost).
+    """
+    H, W = cur.shape
+    bh, bw = H // block, W // block
+    cands = candidate_grid(radius)
+    cur = jnp.asarray(cur, jnp.int32)
+    ref = jnp.asarray(ref, jnp.int32)
+    prev_mvs = jnp.asarray(prev_mvs, jnp.int32)
+
+    def cost_for(dy, dx):
+        diff = jnp.abs(cur - _shift2d(ref, dy, dx))
+        sad = diff.reshape(bh, block, bw, block).sum(axis=(1, 3))
+        pen = (jnp.abs(dy - prev_mvs[..., 0]) +
+               jnp.abs(dx - prev_mvs[..., 1])) * lam
+        return sad, sad + pen
+
+    sads, costs = zip(*[cost_for(dy, dx) for dy, dx in cands])
+    sads = jnp.stack(sads)                                   # (C, bh, bw)
+    costs = jnp.stack(costs)
+    best = jnp.argmin(costs, axis=0)
+    cand_arr = jnp.asarray(np.array(cands, np.int32))
+    mvs = cand_arr[best]
+    take = lambda a: jnp.take_along_axis(a, best[None], 0)[0]  # noqa: E731
+    return mvs, take(sads), take(costs)
+
+
 @functools.partial(jax.jit, static_argnames=("block",)) \
     if _HAVE_JAX else (lambda f: f)
 def motion_compensate(ref, mvs, block: int = 16):
@@ -92,10 +129,12 @@ def motion_compensate(ref, mvs, block: int = 16):
     return ref[ys, xs]
 
 
-def pad_to_block(plane, block: int = 16):
+def pad_to_block(plane, block=16):
+    """Edge-pad to block multiples; ``block`` may be (by, bx)."""
+    by, bx = block if isinstance(block, tuple) else (block, block)
     H, W = plane.shape
-    ph = (-H) % block
-    pw = (-W) % block
+    ph = (-H) % by
+    pw = (-W) % bx
     if ph or pw:
         plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
     return plane

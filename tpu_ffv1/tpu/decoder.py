@@ -2,15 +2,25 @@
 
 Host parses the packet structure (keyframe bit, footer chain, CRCs,
 slice headers — a few dozen symbols); the per-pixel work runs as device
-scans (dec_scan.py).  Adaptive states stay device-resident across frames
-for GOP/P-frame inheritance (ffv1dec.c:376-403 — in-process the state
-arrays simply persist, which is the semantic the thread-copy code
-implements).
+scans.  Adaptive states stay device-resident across frames for
+GOP/P-frame inheritance (ffv1dec.c:376-403 — in-process the state arrays
+simply persist, which is the semantic the thread-copy code implements).
+
+Round-2 design: all slices of a frame — and a ``batch`` of independent
+streams — decode as lanes of ONE fused lane-major scan per frame
+(dec_scan_lanes.py), mirroring the encode pipeline.  That replaces the
+round-1 serial per-(slice, plane) dispatch (the decode analog of the
+reference's slice-threaded decode_slice fan-out, ffv1dec.c:991), and a
+submit/collect pair pipelines host assembly behind device compute like
+the reference's frame threads (pthread_frame.c:310/128).  Non-uniform
+slice grids or per-slice quant-table divergence fall back to the
+per-slice scans (dec_scan.py).
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
+
+import jax.numpy as jnp
 
 from ..bitstream.headers import read_extra_header, read_slice_header
 from ..core import tables as T
@@ -19,10 +29,19 @@ from ..core.rac import RangeDecoder, custom_state_tables, default_state_tables
 from ..core.intmath import ceil_rshift
 from ..codec.context import SliceState, slice_grid
 from .dec_scan import rc_decode_plane
+from .dec_scan_lanes import rc_decode_planes_lanes
 
 
 class TPUFFV1Decoder:
-    def __init__(self, width: int, height: int, extradata: bytes):
+    """Device-resident FFV1 decoder.
+
+    ``batch`` > 1 decodes that many independent streams in lockstep
+    (lanes = batch x slices), the decode mirror of TPUFFV1Encoder's
+    stream batching.  Use decode_frames([pkt0, pkt1, ...]).
+    """
+
+    def __init__(self, width: int, height: int, extradata: bytes,
+                 batch: int = 1):
         g = read_extra_header(extradata)
         if g.ac == T.AC_GOLOMB_RICE:
             raise NotImplementedError("TPU decode requires the range coder")
@@ -31,6 +50,7 @@ class TPUFFV1Decoder:
         self.g = g
         self.width = width
         self.height = height
+        self.batch = batch
         # mirror FFV1Decoder attribute surface used by read_slice_header
         self.version = g.version
         self.num_h_slices = g.num_h_slices
@@ -47,17 +67,48 @@ class TPUFFV1Decoder:
         self.one_tab = jnp.asarray(one)
         self.zero_tab = jnp.asarray(zero)
 
-        self.geoms = slice_grid(width, height, g.num_h_slices, g.num_v_slices)
-        self.key_frame_ok = False
-        # per-slice: device states + quant table index (from slice header)
-        self.slice_states: list = [None] * len(self.geoms)
+        self.geoms = slice_grid(width, height, g.num_h_slices,
+                                g.num_v_slices)
+        self.n_slices = len(self.geoms)
+        self.L = self.n_slices * batch
         self.qts = [jnp.asarray(q, dtype=jnp.int32) for q in g.quant_tables]
-        # damage tracking: per-slice CRC / decode failures are concealed
-        # from the previous picture and stay concealed until the next
-        # keyframe (ffv1dec.c:963-980 CRC, :1001-1021 concealment,
-        # damage persists through inherited contexts :383)
-        self.slice_damaged = [False] * len(self.geoms)
-        self.last_planes = None
+
+        # fused lane-major path requires a uniform grid (block-reshape
+        # plane scatter) and bits <= 10 (distinct-slot get_symbol)
+        g0 = self.geoms[0]
+        nh, nv = g.num_h_slices, g.num_v_slices
+        self.uniform = (
+            self.bits <= 10 and
+            all(gm.width == g0.width and gm.height == g0.height
+                for gm in self.geoms) and
+            width % nh == 0 and height % nv == 0 and
+            (not g.chroma_planes or
+             (g0.width % (1 << g.chroma_h_shift) == 0 and
+              g0.height % (1 << g.chroma_v_shift) == 0)))
+
+        # per-stream host state
+        self.key_frame_ok = [False] * batch
+        self.last_planes = [None] * batch
+        self.slice_damaged = np.zeros((batch, self.n_slices), bool)
+        # device states: fused path keeps one (L, CC, 32) array; the
+        # fallback path keeps per-lane entries
+        self.states = None
+        self.slice_states: list = [None] * self.L
+        self._pending: list = []
+        from concurrent.futures import ThreadPoolExecutor
+        self._executor = ThreadPoolExecutor(max_workers=1)
+
+    # -------------------------------------------------------------- API
+
+    def decode_frame(self, pkt: bytes):
+        assert self.batch == 1
+        return self.decode_frames([pkt])[0]
+
+    def decode_frames(self, pkts):
+        self.submit_frames(pkts)
+        return self.collect_frames()
+
+    # ------------------------------------------------------- host parse
 
     def _split_slices(self, pkt: bytes):
         trailer = 3 + 5 * (1 if self.ec else 0)
@@ -74,18 +125,204 @@ class TPUFFV1Decoder:
         bounds.reverse()
         return bounds
 
-    def decode_frame(self, pkt: bytes):
-        g = self.g
+    def _parse_packet(self, bi: int, pkt: bytes):
+        """Keyframe bit + footer chain + CRC + slice headers for one
+        stream's packet.  Returns (keyframe, per-slice list of
+        (buf, qidx, low, range, pos))."""
         rc = RangeDecoder(pkt, *default_state_tables())
         keystate = np.array([128], dtype=np.uint8)
         keyframe = bool(rc.get_rac(keystate, 0))
-        if not keyframe and not self.key_frame_ok:
+        if not keyframe and not self.key_frame_ok[bi]:
             raise ValueError("cannot decode non-keyframe without keyframe")
-
+        if keyframe:
+            # set at parse time so pipelined submits (decode order ==
+            # submission order) pass the cannot-decode-P-without-I guard
+            self.key_frame_ok[bi] = True
         bounds = self._split_slices(pkt)
         if len(bounds) != len(self.geoms):
             raise ValueError("slice count mismatch")
+        slices = []
+        for si, (start, end) in enumerate(bounds):
+            if keyframe:
+                self.slice_damaged[bi, si] = False
+            if self.ec and crc32_ieee(pkt[start:end]) != 0:
+                self.slice_damaged[bi, si] = True
+            buf = pkt[start:end] if si else pkt[:end]
+            src = RangeDecoder(buf)
+            src.set_tables(*self.tables)
+            if si == 0:
+                src.low, src.range, src.pos = rc.low, rc.range, rc.pos
+            try:
+                ss = SliceState(geom=self.geoms[si])
+                qidxs, _ = read_slice_header(self, ss, src)
+                qidx = qidxs[0]
+            except (ValueError, IndexError):
+                self.slice_damaged[bi, si] = True
+                qidx = 0
+            slices.append((buf, qidx, src.low, src.range, src.pos))
+        return keyframe, slices
 
+    def _plane_specs(self):
+        g = self.g
+        g0 = self.geoms[0]
+        sw, sh = g0.width, g0.height
+        cc = None  # filled by caller per qidx
+        specs = [(sw, sh, 0)]
+        if g.chroma_planes:
+            cw = ceil_rshift(sw, g.chroma_h_shift)
+            ch = ceil_rshift(sh, g.chroma_v_shift)
+            specs += [(cw, ch, 1), (cw, ch, 1)]
+        if g.transparency:
+            specs.append((sw, sh, 2 if g.chroma_planes else 1))
+        return specs
+
+    def _fresh_states(self, qidx: int):
+        g = self.g
+        cc = g.context_counts[qidx]
+        n_state_planes = 1 + (1 if g.chroma_planes else 0) + \
+            (1 if g.transparency else 0)
+        total_cc = n_state_planes * cc
+        init = g.initial_states[qidx]
+        if init is not None:
+            st = np.tile(np.asarray(init[:cc]), (n_state_planes, 1))
+        else:
+            st = np.full((total_cc, 32), 128, np.uint8)
+        return st
+
+    # ------------------------------------------------------ fused path
+
+    def submit_frames(self, pkts):
+        """Async half: parse headers, upload buffers, dispatch the fused
+        device scan without waiting (overlaps with the previous frame's
+        collect, like pthread_frame.c's packet fan-out)."""
+        assert len(pkts) == self.batch
+        g = self.g
+        parsed = [self._parse_packet(bi, pkt)
+                  for bi, pkt in enumerate(pkts)]
+        keyframes = [p[0] for p in parsed]
+        qidx0 = parsed[0][1][0][1]
+        same_q = all(s[1] == qidx0 for _, sl in parsed for s in sl)
+
+        if not (self.uniform and same_q):
+            planes_out = [self._decode_stream_fallback(bi, parsed[bi])
+                          for bi in range(self.batch)]
+            self._pending.append(dict(results=[
+                (self._conceal(bi, planes_out[bi]), keyframes[bi])
+                for bi in range(self.batch)]))
+            return
+
+        cc = g.context_counts[qidx0]
+        specs = tuple((w, h, sp * cc) for (w, h, sp) in self._plane_specs())
+        total_cc = self._fresh_states(qidx0).shape[0]
+
+        # lane-major buffers (bucketed cap bounds recompiles)
+        maxlen = max(len(s[0]) for _, sl in parsed for s in sl)
+        cap = max(4096, 1 << (maxlen - 1).bit_length())
+        bufs = np.zeros((self.L, cap), np.uint8)
+        lows = np.zeros(self.L, np.int32)
+        ranges = np.zeros(self.L, np.int32)
+        poss = np.zeros(self.L, np.int32)
+        buflens = np.zeros(self.L, np.int64)
+        for bi, (kf, sl) in enumerate(parsed):
+            for si, (buf, qidx, lo, ra, po) in enumerate(sl):
+                lane = bi * self.n_slices + si
+                bufs[lane, :len(buf)] = np.frombuffer(buf, np.uint8)
+                lows[lane], ranges[lane], poss[lane] = lo, ra, po
+                buflens[lane] = len(buf)
+
+        qt = self.qts[qidx0]
+        five = bool(g.quant_tables[qidx0][3][127])
+
+        def work():
+            # runs on the single-worker executor in submit order, so
+            # reading/advancing self.states here keeps the GOP context
+            # inheritance chain intact (keyframe resets are per stream)
+            if self.states is None or self.states.shape[1] != total_cc:
+                self.states = jnp.asarray(np.tile(
+                    self._fresh_states(qidx0)[None], (self.L, 1, 1)))
+            if any(keyframes):
+                st = np.array(self.states)
+                fresh = self._fresh_states(qidx0)
+                for bi, kf in enumerate(keyframes):
+                    if kf:
+                        st[bi * self.n_slices:
+                           (bi + 1) * self.n_slices] = fresh
+                self.states = jnp.asarray(st)
+            states0 = self.states
+            db = jnp.asarray(bufs)
+            planes_dev, states_out, low, rng, pos = rc_decode_planes_lanes(
+                db, states0, self.one_tab, self.zero_tab, qt,
+                jnp.asarray(lows), jnp.asarray(ranges), jnp.asarray(poss),
+                specs, self.bits, five)
+            self.states = states_out
+            return dict(planes_dev=planes_dev, low=low, rng=rng, pos=pos,
+                        keyframes=keyframes, parsed=parsed,
+                        buflens=buflens, specs=specs)
+
+        self._pending.append(self._executor.submit(work))
+
+    def collect_frames(self):
+        assert self._pending, "no submit_frames() in flight"
+        p = self._pending.pop(0)
+        if isinstance(p, dict) and "results" in p:
+            return p["results"]
+        p = p.result()
+        g = self.g
+        specs = p["specs"]
+        keyframes = p["keyframes"]
+        nh, nv = g.num_h_slices, g.num_v_slices
+        dt = np.uint8 if self.bits <= 8 else np.uint16
+
+        # sentinel + byte-count validation per lane (ffv1dec.c:459-467)
+        low = np.asarray(p["low"])
+        rng = np.asarray(p["rng"])
+        pos = np.asarray(p["pos"])
+        for bi, (kf, sl) in enumerate(p["parsed"]):
+            for si, (buf, *_rest) in enumerate(sl):
+                lane = bi * self.n_slices + si
+                src = RangeDecoder(buf)
+                src.set_tables(*self.tables)
+                src.low, src.range, src.pos = (int(low[lane]),
+                                               int(rng[lane]),
+                                               int(pos[lane]))
+                sentinel = np.array([129], dtype=np.uint8)
+                try:
+                    src.get_rac(sentinel, 0)
+                    v = (len(buf) - src.pos) - 2 - 5 * (1 if self.ec else 0)
+                    if v:
+                        raise ValueError("bytestream end mismatch")
+                except (ValueError, IndexError):
+                    self.slice_damaged[bi, si] = True
+
+        results = []
+        for bi in range(self.batch):
+            planes = []
+            for k, (w, h, _sp) in enumerate(specs):
+                lanes = np.asarray(
+                    p["planes_dev"][k][bi * self.n_slices:
+                                       (bi + 1) * self.n_slices])
+                # inverse block reshape: (nv*nh, h, w) -> (nv*h, nh*w)
+                full = lanes.reshape(nv, nh, h, w).transpose(0, 2, 1, 3) \
+                    .reshape(nv * h, nh * w)
+                if self.bits <= 8:
+                    planes.append((full & 0xFF).astype(dt))
+                elif self._packed_at_lsb():
+                    planes.append(full.astype(dt))
+                else:
+                    planes.append(((full << (16 - self.bits)) & 0xFFFF)
+                                  .astype(dt))
+            # yuv shares the chroma plane spec twice; specs order is the
+            # plane order already
+            results.append((self._conceal(bi, planes), keyframes[bi]))
+        return results
+
+    # -------------------------------------------------- fallback path
+
+    def _decode_stream_fallback(self, bi: int, parsed):
+        """Per-slice scans (non-uniform grids / mixed quant tables /
+        bits > 10) — the round-1 formulation."""
+        g = self.g
+        keyframe, slices = parsed
         h, w = self.height, self.width
         dt = np.uint8 if self.bits <= 8 else np.uint16
         planes = [np.zeros((h, w), dtype=dt)]
@@ -96,68 +333,29 @@ class TPUFFV1Decoder:
         if g.transparency:
             planes.append(np.zeros((h, w), dtype=dt))
 
-        for si, (start, end) in enumerate(bounds):
-            if keyframe:
-                self.slice_damaged[si] = False
-            if self.ec and crc32_ieee(pkt[start:end]) != 0:
-                self.slice_damaged[si] = True
-            buf = pkt[start:end] if si else pkt[:end]
-            src = RangeDecoder(buf)
-            src.set_tables(*self.tables)
-            if si == 0:
-                # continue after the keyframe bit
-                src.low, src.range, src.pos = rc.low, rc.range, rc.pos
+        for si, (buf, qidx, lo, ra, po) in enumerate(slices):
+            lane = bi * self.n_slices + si
             try:
-                self._decode_slice(si, buf, src, planes, keyframe)
+                self._decode_slice_scans(lane, si, qidx, buf, lo, ra, po,
+                                         planes, keyframe)
             except (ValueError, IndexError):
-                self.slice_damaged[si] = True
+                self.slice_damaged[bi, si] = True
+        return planes
 
-        # conceal damaged rects from the previous picture
-        if self.last_planes is not None:
-            for si, damaged in enumerate(self.slice_damaged):
-                if not damaged:
-                    continue
-                geom = self.geoms[si]
-                hs, vs = g.chroma_h_shift, g.chroma_v_shift
-                for j, (dst, src_p) in enumerate(zip(planes,
-                                                     self.last_planes)):
-                    sh = hs if j in (1, 2) and g.chroma_planes else 0
-                    sv = vs if j in (1, 2) and g.chroma_planes else 0
-                    ys, xs = geom.y >> sv, geom.x >> sh
-                    he = ceil_rshift(geom.y + geom.height, sv)
-                    we = ceil_rshift(geom.x + geom.width, sh)
-                    dst[ys:he, xs:we] = src_p[ys:he, xs:we]
-
-        self.last_planes = planes
-        self.key_frame_ok = True
-        return planes, keyframe
-
-    def _decode_slice(self, si, buf, src, planes, keyframe):
+    def _decode_slice_scans(self, lane, si, qidx, buf, lo, ra, po,
+                            planes, keyframe):
         g = self.g
         geom = self.geoms[si]
-        ss = SliceState(geom=geom)
-        qidxs, _ = read_slice_header(self, ss, src)
-        qidx = qidxs[0]
         cc = g.context_counts[qidx]
         qt = self.qts[qidx]
         five = bool(g.quant_tables[qidx][3][127])
-
-        n_state_planes = 1 + (1 if g.chroma_planes else 0) + \
-            (1 if g.transparency else 0)
-        total_cc = n_state_planes * cc
-        if keyframe or self.slice_states[si] is None:
-            init = g.initial_states[qidx]
-            if init is not None:
-                states = jnp.asarray(
-                    np.tile(np.asarray(init[:cc]), (n_state_planes, 1)))
-            else:
-                states = jnp.full((total_cc, 32), 128, dtype=jnp.uint8)
+        if keyframe or self.slice_states[lane] is None:
+            states = jnp.asarray(self._fresh_states(qidx))
         else:
-            states = self.slice_states[si]
+            states = self.slice_states[lane]
 
         dbuf = jnp.asarray(np.frombuffer(buf, dtype=np.uint8))
-        low, rng, pos = (jnp.int32(src.low), jnp.int32(src.range),
-                         jnp.int32(src.pos))
+        low, rng, pos = jnp.int32(lo), jnp.int32(ra), jnp.int32(po)
 
         x, y, sw, sh = geom.x, geom.y, geom.width, geom.height
         hs, vs = g.chroma_h_shift, g.chroma_v_shift
@@ -177,20 +375,46 @@ class TPUFFV1Decoder:
             out = np.asarray(plane)
             if self.bits <= 8:
                 dst[py:py + ph, px:px + pw] = out & 0xFF
-            elif g.version >= 0 and self._packed_at_lsb():
+            elif self._packed_at_lsb():
                 dst[py:py + ph, px:px + pw] = out
             else:
                 dst[py:py + ph, px:px + pw] = (out << (16 - self.bits)) \
                     & 0xFFFF
-        self.slice_states[si] = states
+        self.slice_states[lane] = states
 
         # sentinel + byte-count check (ffv1dec.c:459-467)
+        src = RangeDecoder(buf)
+        src.set_tables(*self.tables)
         src.low, src.range, src.pos = int(low), int(rng), int(pos)
         sentinel = np.array([129], dtype=np.uint8)
         src.get_rac(sentinel, 0)
         v = (len(buf) - src.pos) - 2 - 5 * (1 if self.ec else 0)
         if v:
             raise ValueError(f"slice {si} bytestream end mismatch by {v}")
+
+    # ----------------------------------------------------- concealment
+
+    def _conceal(self, bi: int, planes):
+        """Copy damaged slice rects from the stream's previous picture
+        (ffv1dec.c:1001-1021); damage persists until the next keyframe."""
+        g = self.g
+        if self.last_planes[bi] is not None:
+            for si in range(self.n_slices):
+                if not self.slice_damaged[bi, si]:
+                    continue
+                geom = self.geoms[si]
+                hs, vs = g.chroma_h_shift, g.chroma_v_shift
+                for j, (dst, src_p) in enumerate(
+                        zip(planes, self.last_planes[bi])):
+                    sh = hs if j in (1, 2) and g.chroma_planes else 0
+                    sv = vs if j in (1, 2) and g.chroma_planes else 0
+                    ys, xs = geom.y >> sv, geom.x >> sh
+                    he = ceil_rshift(geom.y + geom.height, sv)
+                    we = ceil_rshift(geom.x + geom.width, sh)
+                    dst[ys:he, xs:we] = src_p[ys:he, xs:we]
+        self.last_planes[bi] = planes
+        self.key_frame_ok[bi] = True
+        return planes
 
     def _packed_at_lsb(self):
         return self.g.bits_per_raw_sample in (9, 10) or \

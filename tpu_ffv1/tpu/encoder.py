@@ -109,9 +109,13 @@ class TPUFFV1Encoder:
         self._pending = []      # FIFO of in-flight submit_frames records
         # single worker => submits execute in order (the device context
         # chain requires it); the thread exists so that blocking
-        # dispatch (remote backends) overlaps with host drain work
+        # dispatch (remote backends) overlaps with host drain work.
+        # uploads run on their OWN worker so frame k+1's plane transfer
+        # proceeds while the dispatch worker is blocked inside frame k's
+        # device step (axon dispatch is synchronous on its thread)
         from concurrent.futures import ThreadPoolExecutor
         self._executor = ThreadPoolExecutor(max_workers=1)
+        self._upload_pool = ThreadPoolExecutor(max_workers=1)
         # stream length per slice (static per geometry); padded to the
         # scan unroll factor (padding lanes are exact no-ops).
         # U=2 measured best on v5e (fixed per-step costs halve; larger U
@@ -404,17 +408,22 @@ class TPUFFV1Encoder:
                 plens[lane] = len(prov)
 
         if self.fast:
-            def work():
-                # runs on the single-worker executor: submits are
-                # processed strictly in order, so reading/advancing
-                # self.states here keeps the GOP context chain intact.
+            def upload():
                 # planes are stacked over the batch: one upload per
                 # plane type (each jnp.asarray is a round trip on
                 # remote backends)
                 nplanes = len(streams_np[0])
-                streams = tuple(
+                return tuple(
                     jnp.asarray(np.stack([s[k] for s in streams_np]))
                     for k in range(nplanes))
+
+            up_fut = self._upload_pool.submit(upload)
+
+            def work():
+                # runs on the single-worker executor: submits are
+                # processed strictly in order, so reading/advancing
+                # self.states here keeps the GOP context chain intact
+                streams = up_fut.result()
                 states0 = jnp.full_like(self.states, 128) if keyframe \
                     else self.states
                 (out, counts, states_out, overflow, packed, low,

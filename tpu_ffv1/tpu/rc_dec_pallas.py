@@ -1,0 +1,395 @@
+"""Pallas TPU kernel for FFV1 decode (range coder, planar, bits <= 10).
+
+Decode is pixel-serial per slice (each reconstructed sample feeds the
+next pixel's context), so throughput comes from LANES: L independent
+slice streams (slices x stream batch) advance one pixel per step, all
+state in VMEM.  This is the decode mirror of rc_pallas.py and replaces
+the XLA lane scan (dec_scan_lanes.py), whose per-step state-row scatter
+costs ~0.6 us x L on XLA:TPU (measured 83 us/pixel-step at L=96).
+
+Key structures (per-lane, resident across the plane):
+  * adaptive states: (L, CC, 128) int8 VMEM scratch, one context row
+    per sublane (the encode kernel's layout).  The row address is
+    data-dependent (computed from reconstructed neighbors), so the ctx
+    vector is stored to a VMEM scratch and read back as SCALARS to
+    drive the per-lane dynamic slices — scalar VMEM reads of computed
+    vectors work on v5e Mosaic (probed); scalar VMEM stores do not, so
+    scalar->vector assembly uses (iota == lane) accumulation.
+  * byte FIFO: a 32-deep CIRCULAR window (32, L) of the range-coder
+    byte stream, indexed by absolute position & 31.  A global
+    low-water guard (pl.when on a computed min, via SMEM) refills
+    deficient lanes with whole int32 words — amortized ~0.25 scalar
+    word reads per lane per pixel.  In-window reads are arithmetic
+    one-hots.
+  * reconstruction row: ONE (Wpad+8, L) int32 buffer — the previous
+    row is read per 8-pixel group BEFORE the current row overwrites it
+    (3-input context model only; the 5-input model needs the TT row
+    and falls back to the XLA scan).  The right-edge RT clamp
+    (ffv1dec.c:202-203) is realized by replicating the last real
+    sample into the row padding.
+  * table lookups (quant tables, state transitions): arithmetic
+    binary-select trees over (256, 1) VMEM tables, as in the encode
+    kernel; transitions use the single-table identity
+    zero[s] = (256 - one[(256-s) & 0xFF]) & 0xFF (rangecoder.c).
+
+Pixels run in 8-groups so all row-buffer accesses are 8-aligned dynamic
+slices with static in-group offsets (Mosaic requirement); group pad
+pixels (x >= w) are exact no-ops that replicate the last real sample.
+Grid is sequential over rows; one pallas_call per plane, chaining
+(states, low, range, pos) through outputs.
+
+Behavioral parity: ffv1dec.c:42-63 (get_symbol), :100-181
+(decode_line), rangecoder.h:104-145 (get_rac/refill).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(bits, L, w, h, Wpad, capw, pbase,
+            bufs_ref, t1_ref, qt0_ref, qt1_ref, qt2_ref, states0_ref,
+            low0_ref, rng0_ref, pos0_ref,
+            out_ref, lowout_ref, rngout_ref, posout_ref, statesout_ref,
+            states, rowbuf, lows, rngs, poss, win, fills, plft_ref,
+            ctxv, minf):
+    y = pl.program_id(0)
+    e_max = bits - 1
+    mask_v = (1 << bits) - 1
+    ngroups = Wpad // 8
+
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    iota32s = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    lane_lt32 = lane128 < 32
+    eye32 = (jax.lax.broadcasted_iota(jnp.int32, (32, 32), 0) ==
+             jax.lax.broadcasted_iota(jnp.int32, (32, 32), 1)) \
+        .astype(jnp.bfloat16)
+
+    def tree(tab_ref, idx):
+        """tab[idx] for (1, L) idx in [0, 255] via arithmetic selects."""
+        lo = tab_ref[pl.ds(0, 128), :]
+        hi = tab_ref[pl.ds(128, 128), :]
+        c = lo + (hi - lo) * ((idx >> 7) & 1)
+        c = c[:64, :] + (c[64:, :] - c[:64, :]) * ((idx >> 6) & 1)
+        c = c[:32, :] + (c[32:, :] - c[:32, :]) * ((idx >> 5) & 1)
+        c = c[:16, :] + (c[16:, :] - c[:16, :]) * ((idx >> 4) & 1)
+        c = c[:8, :] + (c[8:, :] - c[:8, :]) * ((idx >> 3) & 1)
+        d = iota8 - (idx & 7)
+        return jnp.sum(c * jnp.maximum(0, 1 - d * d), axis=0,
+                       keepdims=True)
+
+    def transition(s, b):
+        idx = jnp.where(b == 1, s, (256 - s) & 0xFF)
+        t = tree(t1_ref, idx)
+        return jnp.where(b == 1, t, (256 - t) & 0xFF)
+
+    def feed_words(nrounds):
+        """Insert one buffer word per round into each deficient lane's
+        circular window (fill - pos < 24 keeps fill <= 28 < 32)."""
+        for _ in range(nrounds):
+            fp = fills[pl.ds(0, 1), :]
+            p = poss[pl.ds(0, 1), :]
+            do = (fp - p) < 24
+            w_acc = jnp.zeros((1, L), jnp.int32)
+            for lane in range(L):
+                wi = fills[0, lane] >> 2
+                wv = bufs_ref[jnp.minimum(wi, capw - 1), lane]
+                w_acc = w_acc + wv * (lane_iota == lane)
+            new_win = win[...]
+            for k in range(4):
+                b = (w_acc >> (8 * k)) & 0xFF
+                m = do & (iota32s == ((fp + k) & 31))
+                new_win = jnp.where(m, b, new_win)
+            win[...] = new_win
+            fills[pl.ds(0, 1), :] = jnp.where(do, fp + 4, fp)
+
+    @pl.when(y == 0)
+    def _init():
+        states[...] = states0_ref[...]
+        lows[...] = low0_ref[...]
+        rngs[...] = rng0_ref[...]
+        poss[...] = pos0_ref[...]
+        fills[pl.ds(0, 1), :] = pos0_ref[...] & ~3
+        win[...] = jnp.zeros((32, L), jnp.int32)
+        feed_words(8)
+        plft_ref[...] = jnp.zeros((1, L), jnp.int32)
+        rowbuf[...] = jnp.zeros((Wpad + 16, L), jnp.int32)
+
+    # row borders (ffv1dec.c:202-203): cur[-1] = prev row's [0];
+    # prev[-1] = two-rows-ago [0] (carried scalar row)
+    cl = rowbuf[pl.ds(0, 1), :]
+    plft = plft_ref[pl.ds(0, 1), :]
+    plft_ref[...] = cl
+
+    low0v = lows[pl.ds(0, 1), :]
+    rng0v = rngs[pl.ds(0, 1), :]
+    pos0v = poss[pl.ds(0, 1), :]
+
+    def posT_eq(ridx):
+        return iota32s == ridx
+
+    def group(gi, carry):
+        low, rng, pos, vprev, tprev = carry
+        x8 = pl.multiple_of(gi * 8, 8)
+        prev16 = jnp.concatenate(
+            [rowbuf[pl.ds(x8, 8), :], rowbuf[pl.ds(x8 + 8, 8), :]], 0)
+        decoded = []
+
+        for px in range(8):
+            # top-up the byte window when any lane is low (covers the
+            # max 2 + 2*e_max + 1 refills one pixel can consume)
+            minf[0, 0] = jnp.min(fills[pl.ds(0, 1), :] - pos)
+
+            @pl.when(minf[0, 0] < 20)
+            def _():
+                feed_words(5)
+
+            T = prev16[px:px + 1, :]
+            RT = prev16[px + 1:px + 2, :]
+            Lv = vprev
+            LT = tprev
+            act_px = (gi * 8 + px) < w               # scalar bool
+
+            ctx = (tree(qt0_ref, (Lv - LT) & 0xFF) +
+                   tree(qt1_ref, (LT - T) & 0xFF) +
+                   tree(qt2_ref, (T - RT) & 0xFF))
+            csign = ctx < 0
+            ctx = jnp.where(csign, -ctx, ctx)
+            # clamp so damaged streams can't address out of the padded
+            # state table (damage is detected downstream by the
+            # sentinel/byte-count check, ffv1dec.c:459-467)
+            CCrows = states0_ref.shape[1]
+            ctxv[pl.ds(0, 1), :] = jnp.clip(ctx + pbase, 0, CCrows - 1)
+
+            # ---- state row read (per-lane scalar addressing) ----
+            row_list = []
+            blocks = []
+            subs = []
+            for lane in range(L):
+                ci = ctxv[0, lane]
+                base = pl.multiple_of((ci >> 3) * 8, 8)
+                block = states[lane, pl.ds(base, 8), :]
+                sub = ci & 7
+                rowfull = jnp.sum(jnp.where(iota8 == sub, block, 0),
+                                  axis=0, keepdims=True)
+                row_list.append(rowfull[:, :32])
+                blocks.append(block)
+                subs.append(sub)
+            rows8 = jnp.concatenate(row_list, 0)          # (L, 32) int8
+            rowsT = jax.lax.dot_general(
+                eye32, rows8.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32) \
+                & 0xFF                                    # (32, L)
+
+            def win_byte(p):
+                d = iota32s - (p & 31)
+                return jnp.sum(win[...] * jnp.maximum(0, 1 - d * d),
+                               axis=0, keepdims=True)
+
+            def rac(s, low, rng, pos, act):
+                r1 = (rng * s) >> 8
+                r0 = rng - r1
+                bit = low >= r0
+                nlow = jnp.where(bit, low - r0, low)
+                nrng = jnp.where(bit, r1, r0)
+                ns = transition(s, bit.astype(jnp.int32))
+                low = jnp.where(act, nlow, low)
+                rng = jnp.where(act, nrng, rng)
+                need = act & (rng < 0x100)
+                nxt = win_byte(pos)
+                low = jnp.where(need, (low << 8) + nxt, low)
+                rng = jnp.where(need, rng << 8, rng)
+                pos = pos + need.astype(jnp.int32)
+                return bit & act, ns, low, rng, pos
+
+            ones = jnp.broadcast_to(act_px, (1, L))
+            news = {}           # static row -> (mask, value)
+            dyn_updates = []    # (rowidx (1,L), mask (1,L), value (1,L))
+
+            s = rowsT[0:1, :]
+            b0, ns, low, rng, pos = rac(s, low, rng, pos, ones)
+            news[0] = (ones, ns)
+            nz = ~b0 & ones
+            e = jnp.zeros((1, L), jnp.int32)
+            done = ~nz
+            for j in range(e_max + 1):
+                s = rowsT[1 + j:2 + j, :]
+                bit, ns, low, rng, pos = rac(s, low, rng, pos, ~done)
+                news[1 + j] = (~done, ns)
+                e = e + (bit & ~done).astype(jnp.int32)
+                done = done | ~bit
+            aval = jnp.ones((1, L), jnp.int32)
+            for j in range(e_max):
+                actj = nz & (j < e)
+                ridx = 22 + jnp.clip(e - 1 - j, 0, 9)
+                msel = posT_eq(ridx)
+                s = jnp.sum(rowsT * msel, axis=0, keepdims=True)
+                bit, ns, low, rng, pos = rac(s, low, rng, pos, actj)
+                dyn_updates.append((msel, actj, ns))
+                aval = jnp.where(actj, aval + aval + bit.astype(jnp.int32),
+                                 aval)
+            ridx = 11 + jnp.minimum(e, 10)
+            msel = posT_eq(ridx)
+            s = jnp.sum(rowsT * msel, axis=0, keepdims=True)
+            sbit, ns, low, rng, pos = rac(s, low, rng, pos, nz)
+            dyn_updates.append((msel, nz, ns))
+
+            # ---- write-back ----
+            base_rows = rowsT
+            for msel, actj, ns in dyn_updates:
+                base_rows = jnp.where(msel & actj, ns, base_rows)
+            rows_new = []
+            for p in range(32):
+                if p in news:
+                    m, ns = news[p]
+                    rows_new.append(jnp.where(m, ns, base_rows[p:p + 1]))
+                else:
+                    rows_new.append(base_rows[p:p + 1])
+            new_rowsT = jnp.concatenate(rows_new, 0)
+            new_rows8 = jax.lax.dot_general(
+                new_rowsT.astype(jnp.bfloat16), eye32,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32) \
+                & 0xFF
+            new_rows8 = new_rows8.astype(jnp.int8)
+            if L % 8:
+                new_rows8 = jnp.concatenate(
+                    [new_rows8, jnp.zeros((8 - L % 8, 32), jnp.int8)], 0)
+            for lane in range(L):
+                ci = ctxv[0, lane]
+                base = pl.multiple_of((ci >> 3) * 8, 8)
+                b8 = (lane // 8) * 8
+                nr = jnp.sum(jnp.where(iota8 == (lane % 8),
+                                       new_rows8[b8:b8 + 8, :], 0),
+                             axis=0, keepdims=True)
+                nr128 = jnp.concatenate([nr, nr, nr, nr], axis=1)
+                wmask = (iota8 == subs[lane]) & lane_lt32
+                nb = jnp.where(wmask, nr128, blocks[lane])
+                states[lane, pl.ds(base, 8), :] = nb
+
+            diff = jnp.where(nz, jnp.where(sbit, -aval, aval), 0)
+            diff = jnp.where(csign, -diff, diff)
+            m2 = Lv + T - LT
+            pred = (Lv + m2 + T) - \
+                jnp.minimum(jnp.minimum(Lv, m2), T) - \
+                jnp.maximum(jnp.maximum(Lv, m2), T)
+            val = (pred + diff) & mask_v
+            val = jnp.where(ones, val, vprev)   # pad: replicate last
+            decoded.append(val)
+            vprev = val
+            tprev = jnp.where(ones, T, tprev)
+
+        rowbuf[pl.ds(x8, 8), :] = jnp.concatenate(decoded, 0)
+        out_ref[0, pl.ds(x8, 8), :] = jnp.concatenate(decoded, 0)
+        return (low, rng, pos, vprev, tprev)
+
+    low, rng, pos, vlast, _ = jax.lax.fori_loop(
+        0, ngroups, group, (low0v, rng0v, pos0v, cl, plft))
+    # replicate the last real sample once more past Wpad so RT at
+    # x = w-1 reads it on the next row even when w % 8 == 0
+    rowbuf[pl.ds(Wpad, 8), :] = jnp.broadcast_to(vlast, (8, L))
+    lows[pl.ds(0, 1), :] = low
+    rngs[pl.ds(0, 1), :] = rng
+    poss[pl.ds(0, 1), :] = pos
+
+    @pl.when(y == h - 1)
+    def _fin():
+        lowout_ref[...] = lows[...]
+        rngout_ref[...] = rngs[...]
+        posout_ref[...] = poss[...]
+        statesout_ref[...] = states[...]
+
+
+def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2,
+                    low, rng, pos, w, h, pbase, bits, L, CC):
+    Wpad = -(-w // 8) * 8
+    capw = bufw.shape[0]
+    kernel = functools.partial(_kernel, bits, L, w, h, Wpad, capw, pbase)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(h,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=[
+            pl.BlockSpec((1, Wpad, L), lambda y: (y, 0, 0),
+                         memory_space=pltpu.VMEM),   # plane rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # low
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # range
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # pos
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # states
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, CC, 128), jnp.int8),      # states
+            pltpu.VMEM((Wpad + 16, L), jnp.int32),   # row buffer
+            pltpu.VMEM((1, L), jnp.int32),           # low
+            pltpu.VMEM((1, L), jnp.int32),           # range
+            pltpu.VMEM((1, L), jnp.int32),           # pos
+            pltpu.VMEM((32, L), jnp.int32),          # byte window
+            pltpu.VMEM((1, L), jnp.int32),           # window fill pos
+            pltpu.VMEM((1, L), jnp.int32),           # prev-prev left
+            pltpu.VMEM((1, L), jnp.int32),           # ctx scalarizer
+            pltpu.SMEM((1, 1), jnp.int32),           # min fill
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        out_shape=[
+            jax.ShapeDtypeStruct((h, Wpad, L), jnp.int32),
+            jax.ShapeDtypeStruct((1, L), jnp.int32),
+            jax.ShapeDtypeStruct((1, L), jnp.int32),
+            jax.ShapeDtypeStruct((1, L), jnp.int32),
+            jax.ShapeDtypeStruct((L, CC, 128), jnp.int8),
+        ],
+    )(bufw, t1, qt0, qt1, qt2, states_pad, low, rng, pos)
+
+
+@functools.partial(jax.jit, static_argnames=("plane_specs", "bits"))
+def rc_decode_planes_pallas(bufs, states, one_tab, zero_tab, qt,
+                            low0, range0, pos0, plane_specs: tuple,
+                            bits: int):
+    """Decode all planes of L parallel slice streams (Pallas kernel).
+
+    Same contract as dec_scan_lanes.rc_decode_planes_lanes, 3-input
+    context model only.  bufs: uint8[L, cap] (cap padded to 4);
+    states: uint8[L, CC_total, 32].
+    """
+    L, CC_real = states.shape[0], states.shape[1]
+    cap = bufs.shape[1]
+    assert cap % 4 == 0
+    # little-endian int32 word view, transposed to (capw, L) so a
+    # lane's words sit on the sublane axis for scalar reads
+    b = bufs.astype(jnp.int32).reshape(L, cap // 4, 4)
+    words = (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) |
+             (b[..., 3] << 24))
+    bufw = words.T                                   # (capw, L)
+
+    NB = -(-CC_real // 8)
+    CC = NB * 8
+    states_pad = jnp.pad(states.astype(jnp.int8),
+                         ((0, 0), (0, CC - CC_real), (0, 96)))
+    t1 = one_tab.astype(jnp.int32)[:, None]
+    del zero_tab   # derived via the single-table identity
+    qt0 = qt[0][:, None]
+    qt1 = qt[1][:, None]
+    qt2 = qt[2][:, None]
+
+    low = low0[None, :].astype(jnp.int32)
+    rng = range0[None, :].astype(jnp.int32)
+    pos = pos0[None, :].astype(jnp.int32)
+    planes = []
+    sp = states_pad
+    for (w, h, pbase) in plane_specs:
+        out, low, rng, pos, sp = _dec_plane_call(
+            bufw, sp, t1, qt0, qt1, qt2, low, rng, pos,
+            w, h, pbase, bits, L, CC)
+        planes.append(jnp.moveaxis(out[:, :w, :], 2, 0))   # (L, h, w)
+    states_out = sp[:, :CC_real, :32].astype(jnp.uint8)
+    return tuple(planes), states_out, low[0], rng[0], pos[0]

@@ -112,31 +112,27 @@ def _kernel(bits, L, CC, CH, S, order, compact,
         vR = diff_ref[pl.ds(i, 1), :]                          # (1, L)
         apxR = act_ref[pl.ds(i, 1), :]                         # (1, L)
 
-        # Packed state layout: each (8, 128) tile holds 32 context rows
-        # (8 sublanes x 4 lane-groups of 32).  Row c lives at tile c>>5,
-        # sublane (c>>2)&7, lane group c&3.  Dynamic indices stay
-        # sublane-aligned; group selection is mask-based (no lane-offset
-        # slices — those trip Mosaic).
+        # State layout: one context row per sublane — row c lives at
+        # [lane, c, 0:32] of the (L, CC, 128) scratch (c's tile is
+        # c >> 3, sublane c & 7).  Dynamic slice bases stay 8-aligned
+        # (Mosaic requirement); sublane selection is mask-based.  Costs
+        # 4x the VMEM of a 4-rows-per-sublane packing but drops the
+        # dynamic lane rotate + group masks from both per-lane loops
+        # (measured 54% + 27% of round-2 kernel time).
         row_list = []
         blocks = []
         subs = []
-        groups = []
         for lane in range(L):
             ci = ctx_ref[i, lane]
-            base = pl.multiple_of((ci >> 5) * 8, 8)
+            base = pl.multiple_of((ci >> 3) * 8, 8)
             block = states[lane, pl.ds(base, 8), :]       # (8, 128) int8
-            sub = (ci >> 2) & 7
-            group = ci & 3
+            sub = ci & 7
             rowfull = jnp.sum(jnp.where(iota8 == sub, block, 0), axis=0,
                               keepdims=True)       # (1, 128) int8
-            # rotate the selected 32-lane group to the front (dynamic
-            # lane rotate; lane reshapes/offset slices are unsupported)
-            rolled = pltpu.roll(rowfull, -group * 32, 1)
-            row_list.append(rolled[:, :32])
+            row_list.append(rowfull[:, :32])
             blocks.append(block)
             subs.append(sub)
-            groups.append(group)
-        rows8 = jnp.concatenate(row_list, 0)      # (L, 32) int8 (wrapped)
+        rows8 = jnp.concatenate(row_list, 0)      # (L, 32) int8
 
         # all chain/transition math in (32, L) / (1, L) row orientation
         rowsT = jax.lax.dot_general(
@@ -191,12 +187,13 @@ def _kernel(bits, L, CC, CH, S, order, compact,
         new_rows8 = new_rows8.astype(jnp.int8)
 
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        lane_lt32 = lane128 < 32                         # static mask
         if L % 8:
             new_rows8 = jnp.concatenate(
                 [new_rows8, jnp.zeros((8 - L % 8, 32), jnp.int8)], axis=0)
         for lane in range(L):
             ci = ctx_ref[i, lane]
-            base_r = pl.multiple_of((ci >> 5) * 8, 8)
+            base_r = pl.multiple_of((ci >> 3) * 8, 8)
             # lane's row from new_rows: 8-aligned STATIC slice (vreg
             # pick, free) + constant-mask sublane select — row-offset
             # (non-aligned) slices trip Mosaic layout inference, and a
@@ -206,8 +203,7 @@ def _kernel(bits, L, CC, CH, S, order, compact,
                                    new_rows8[b8:b8 + 8, :], 0),
                          axis=0, keepdims=True)          # (1, 32) int8
             nr128 = jnp.concatenate([nr, nr, nr, nr], axis=1)  # (1, 128)
-            wmask = (iota8 == subs[lane]) & \
-                ((lane128 >> 5) == groups[lane])         # (8, 128)
+            wmask = (iota8 == subs[lane]) & lane_lt32    # (8, 128)
             nb = jnp.where(wmask, nr128, blocks[lane])
             states[lane, pl.ds(base_r, 8), :] = nb
 
@@ -280,7 +276,7 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
                  low0, range0, bits: int, chunk: int, compact: bool):
     L, N = ctx.shape
     CC_real = states0.shape[1]
-    NB = -(-CC_real // 32)               # 32 context rows per (8,128) tile
+    NB = -(-CC_real // 8)                # 8 context rows per (8,128) tile
     CC = NB * 8                          # scratch sublane count
     order = chain_order_nosign(bits)
     S = len(order) + 1                   # + the collapsed sign slot
@@ -324,12 +320,9 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
             pltpu.VMEM((1, L), jnp.int32),              # range
         ],
     )
-    # pack rows: row c -> [tile c>>5 (8 sublanes), sublane (c>>2)&7,
-    # lanes (c&3)*32:(c&3)*32+32]
-    s0 = jnp.pad(states0.astype(jnp.int8),
-                 ((0, 0), (0, NB * 32 - CC_real), (0, 0)))
-    s0 = s0.reshape(L, NB, 8, 4, 32)      # c%32 = sub*4 + group
-    states0_pad = s0.reshape(L, NB * 8, 128)
+    # pack rows: row c -> [sublane c of (L, CC, 128), lanes 0:32]
+    states0_pad = jnp.pad(states0.astype(jnp.int8),
+                          ((0, 0), (0, CC - CC_real), (0, 96)))
     res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -348,8 +341,7 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
       low0[None, :].astype(jnp.int32), range0[None, :].astype(jnp.int32))
     prov, low, rng, states_out = res
 
-    so = states_out.reshape(L, NB, 8, 4, 32)
-    states_u8 = so.reshape(L, NB * 32, 32)[:, :CC_real, :].astype(jnp.uint8)
+    states_u8 = states_out[:, :CC_real, :32].astype(jnp.uint8)
     return prov, low[0], rng[0], states_u8
 
 
