@@ -181,7 +181,7 @@ def main():
         log("tpu unavailable; reporting host path")
         mpix = bench_host(frames)
     dec_mpix = None
-    if not os.environ.get("FFV1_BENCH_SKIP_DECODE"):
+    if os.environ.get("FFV1_BENCH_SKIP_DECODE", "0") not in ("1", "true"):
         try:
             dec_mpix = bench_tpu_decode(frames)
             log(f"tpu decode: {dec_mpix:.2f} Mpixel/s")

@@ -13,6 +13,7 @@
  */
 #include <stdint.h>
 #include <string.h>
+#include <math.h>
 #include <stdlib.h>
 
 #define API __attribute__((visibility("default")))
@@ -807,4 +808,59 @@ API uint32_t ffv1n_crc32(const uint8_t *buf, int64_t len, uint32_t crc)
     for (i = 0; i < len; i++)
         crc = crc_tab[(crc ^ buf[i]) & 0xFF] ^ (crc >> 8);
     return crc;
+}
+
+/* ------------- two-pass initial-state DP (exact FP parity) -------------
+ * Semantics of ffv1enc.c:139-183 (find_best_state): a dynamic program
+ * over adaptive-state evolution under a fixed one-bit probability p.
+ * The FP accumulation order is observable in the chosen states, so this
+ * runs as the same scalar double fold (a vectorized evaluation rounds
+ * differently on ulp ties); kept in the native tier next to the other
+ * speed-critical host loops. */
+
+API void ffv1n_find_best_state(const uint8_t *one_state,
+                               uint8_t *best_state /* [256*256] */)
+{
+    double l2tab[256];
+    int i;
+
+    for (i = 1; i < 256; i++)
+        l2tab[i] = log2(i / 256.0);
+
+    for (i = 0; i < 256; i++) {
+        double best_len[256];
+        const double p = i / 256.0;
+        int j, k, m;
+
+        for (j = 0; j < 256; j++)
+            best_len[j] = 1 << 30;
+
+        for (j = i - 10 > 1 ? i - 10 : 1;
+             j < (i + 11 < 256 ? i + 11 : 256); j++) {
+            double occ[256] = { 0 };
+            double len = 0;
+
+            if (!one_state[j])
+                continue;
+            occ[j] = 1.0;
+
+            for (k = 0; k < 256; k++) {
+                double nocc[256] = { 0 };
+                for (m = 1; m < 256; m++)
+                    if (occ[m])
+                        len -= occ[m] * (p * l2tab[m] +
+                                         (1 - p) * l2tab[256 - m]);
+                if (len < best_len[k]) {
+                    best_len[k] = len;
+                    best_state[256 * i + k] = (uint8_t)j;
+                }
+                for (m = 1; m < 256; m++)
+                    if (occ[m]) {
+                        nocc[one_state[m]] += occ[m] * p;
+                        nocc[256 - one_state[256 - m]] += occ[m] * (1 - p);
+                    }
+                memcpy(occ, nocc, sizeof(occ));
+            }
+        }
+    }
 }

@@ -210,3 +210,40 @@ def test_tpu_decode_pipeline_overlap():
     for got, want in zip((got0, got1, got2), frames):
         for a, b in zip(got, want):
             assert np.array_equal(a, b)
+
+
+def test_tpu_golomb_device_encode_byte_exact():
+    """Device Golomb-Rice path (coder=0 — the reference's default
+    coder, ffv1enc.c:326-367) vs the host engine, incl. GOP carry of
+    the VlcState tables and batch lockstep."""
+    frames = _frames(8)
+    kw = dict(width=W, height=H, pix_fmt="yuv420p", level=3, coder=0,
+              slices=4, gop_size=2)
+    host = FFV1Encoder(EncoderParams(**kw))
+    ref = [host.encode_frame(f) for f in frames]
+    dev = TPUFFV1Encoder(EncoderParams(**kw), batch=2)
+    assert dev.golomb
+    for fi, f in enumerate(frames):
+        for pkt, kf in dev.encode_frames([f, f]):
+            assert pkt == ref[fi][0]
+            assert kf == ref[fi][1]
+
+
+def test_tpu_golomb_gray_and_444():
+    for pix in ("gray", "yuv444p"):
+        frames = [[p[:1] if False else p for p in f][:1] if pix == "gray"
+                  else f for f in _frames(8, seed=9)]
+        kw = dict(width=W, height=H, pix_fmt=pix, level=3, coder=0,
+                  slices=4)
+        if pix == "yuv444p":
+            rng = np.random.RandomState(4)
+            frames = [[rng.randint(0, 256, (H, W)).astype(np.uint8)
+                       for _ in range(3)] for _ in range(2)]
+        else:
+            frames = [[f[0]] for f in frames[:2]]
+        host = FFV1Encoder(EncoderParams(**kw))
+        ref = [host.encode_frame(f) for f in frames]
+        dev = TPUFFV1Encoder(EncoderParams(**kw))
+        for fi, f in enumerate(frames):
+            pkt, kf = dev.encode_frame(f)
+            assert pkt == ref[fi][0], pix

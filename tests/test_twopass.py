@@ -49,3 +49,57 @@ def test_stats_serialization_roundtrip():
     text = st.serialize()
     rc, rc2, gob = parse_stats(text, 2, (666, 8282))
     assert rc[10][1] == 42 and rc2[0][5][3][0] == 7 and gob == 3
+
+
+def test_two_pass_exact_vs_reference(tmp_path):
+    """Exact parity with the reference's -pass machinery: pass-1 stats
+    text and pass-2 streams must be byte-identical (ffv1enc.c:898-986,
+    :1235-1279; find_best_state runs in the native tier to match the
+    C double fold exactly)."""
+    import os
+    import subprocess
+    from tests.util import REF_FFMPEG, have_reference
+    from tpu_ffv1.io.avi import read_avi
+    from tpu_ffv1.io.rawvideo import write_frames
+
+    if not have_reference():
+        pytest.skip("reference binary not built")
+    frames = _frames()
+    raw = str(tmp_path / "in.yuv")
+    write_frames(raw, frames)
+    plog = str(tmp_path / "pl")
+    base = [REF_FFMPEG, "-hide_banner", "-loglevel", "error",
+            "-f", "rawvideo", "-pix_fmt", "yuv420p", "-s", "64x48",
+            "-i", raw, "-c:v", "ffv1", "-level", "3", "-coder", "2",
+            "-slices", "4", "-passlogfile", plog]
+    subprocess.run(base + ["-pass", "1", "-y", str(tmp_path / "p1.avi")],
+                   check=True)
+    subprocess.run(base + ["-pass", "2", "-y", str(tmp_path / "p2.avi")],
+                   check=True)
+    ref_stats = open(plog + "-0.log").read()
+
+    p1 = FFV1Encoder(EncoderParams(width=64, height=48, pix_fmt="yuv420p",
+                                   level=3, coder=2, slices=4, pass1=True))
+    for f in frames:
+        p1.encode_frame(f)
+    stats = p1.get_stats()
+    # plain == on ~1 MB strings: a mismatch would make pytest's
+    # assertion-diff machinery crawl, so compare out-of-line
+    same = stats == ref_stats
+    if not same:
+        i = next((k for k, (a, b) in enumerate(zip(ref_stats, stats))
+                  if a != b), min(len(stats), len(ref_stats)))
+        pytest.fail(f"pass-1 stats differ at byte {i}: "
+                    f"ref {ref_stats[i:i+20]!r} ours {stats[i:i+20]!r} "
+                    f"(lens {len(ref_stats)}/{len(stats)})")
+
+    ref2 = read_avi(str(tmp_path / "p2.avi"))
+    p2 = FFV1Encoder(EncoderParams(width=64, height=48, pix_fmt="yuv420p",
+                                   level=3, coder=2, slices=4,
+                                   stats_in=ref_stats))
+    # ffmpeg pads AVI strf extradata to even length with a zero byte
+    assert p2.extradata == ref2.extradata.rstrip(b"\x00") or \
+        p2.extradata == ref2.extradata
+    for fi, f in enumerate(frames):
+        pkt, _ = p2.encode_frame(f)
+        assert pkt == ref2.packets[fi], f"pass-2 frame {fi} differs"

@@ -13,12 +13,14 @@ Pass 2 re-derives:
     evolution (find_best_state, ffv1enc.c:139-183)
 
 Behavioral parity: ffv1enc.c:139-183, :621-667, :898-986, :1235-1279.
-find_best_state is evaluated with float64 linear algebra in the same
-recurrence; FP summation order differs from the scalar C loop, so tuned
-tables may differ in ulp-sensitive ties — output streams remain valid
-and self-consistent either way.
+find_best_state runs in the native tier (ffv1n_find_best_state) as the
+same scalar double fold, so tuned tables are bit-identical to the
+reference's -pass 2 derivation; the float64 linear-algebra fallback
+(used only when the C library cannot build) may differ on ulp ties.
 """
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
@@ -44,12 +46,17 @@ class Pass1Stats:
         return per_bit
 
     def serialize(self) -> str:
-        """Reference stats_out text format (ffv1enc.c:1261-1276)."""
+        """Reference stats_out text format (ffv1enc.c:1261-1276).
+
+        Note: the reference's `snprintf(p, end - p, "\\n")` after the
+        rc_stat block (ffv1enc.c:1266) is not followed by `p += strlen`,
+        so the newline is overwritten by the next pair and never appears
+        in the emitted stats — reproduced here for byte parity.
+        """
         parts = []
         for j in range(256):
             parts.append(f"{int(self.rc_stat[j][0])} "
                          f"{int(self.rc_stat[j][1])} ")
-        parts.append("\n")
         for st2 in self.rc_stat2:
             cc = st2.shape[0]
             for j in range(cc):
@@ -92,11 +99,11 @@ def parse_stats(text: str, quant_table_count, context_counts):
 def sort_stt(rc_stat: np.ndarray, stt: np.ndarray) -> bool:
     """Greedy cost-sorting of the state-transition table
     (ffv1enc.c:621-667).  Mutates rc_stat and stt in place."""
-    rc = rc_stat.astype(np.float64)
-
     def cost(old, new):
-        return (rc_stat[old][0] * -np.log2((256 - new) / 256.0) +
-                rc_stat[old][1] * -np.log2(new / 256.0))
+        # float(uint64) -> double is exact below 2**53; math.log2 is the
+        # platform libm, matching the reference build's rounding
+        return (float(rc_stat[old][0]) * -math.log2((256 - new) / 256.0) +
+                float(rc_stat[old][1]) * -math.log2(new / 256.0))
 
     def cost2(old, new):
         return cost(old, new) + cost(256 - old, 256 - new)
@@ -129,26 +136,42 @@ def sort_stt(rc_stat: np.ndarray, stt: np.ndarray) -> bool:
                     changed = changed_any = True
         if not changed:
             break
-    _ = rc
     return changed_any
 
 
 def find_best_state(one_state: np.ndarray) -> np.ndarray:
-    """DP over state evolution (ffv1enc.c:139-183), vectorized.
+    """DP over state evolution (ffv1enc.c:139-183).
 
     best_state[p8][count]: best initial state for a context whose one-bit
     probability is p8/256 and expected occurrence count is ``count``.
+    Runs in the native tier (exact double-fold FP order, so the result is
+    bit-identical to the reference's); falls back to the float64
+    linear-algebra evaluation if the C library is unavailable.
     """
     one_state = np.asarray(one_state, dtype=np.int64)
+    try:
+        from ..native import get_lib
+        import ctypes as ct
+        lib = get_lib()
+        lib.ffv1n_find_best_state.argtypes = [ct.c_void_p, ct.c_void_p]
+        lib.ffv1n_find_best_state.restype = None
+        one_u8 = np.ascontiguousarray(one_state, dtype=np.uint8)
+        best = np.zeros((256, 256), dtype=np.uint8)
+        lib.ffv1n_find_best_state(one_u8.ctypes.data, best.ctypes.data)
+        return best
+    except Exception:
+        pass
     l2tab = np.zeros(256)
     l2tab[1:] = np.log2(np.arange(1, 256) / 256.0)
 
     # transition matrices: occ' = occ @ (p*P1 + (1-p)*P0)
-    P1 = np.zeros((256, 256))
-    P0 = np.zeros((256, 256))
+    P1 = np.zeros((256, 257))
+    P0 = np.zeros((256, 257))
     for m in range(1, 256):
         P1[m, one_state[m]] += 1.0
         P0[m, 256 - one_state[256 - m]] += 1.0
+    P1 = P1[:, :256]
+    P0 = P0[:, :256]
 
     best_state = np.zeros((256, 256), dtype=np.uint8)
     for i in range(256):
@@ -179,9 +202,22 @@ def find_best_state(one_state: np.ndarray) -> np.ndarray:
     return best_state
 
 
+def _c_round(p: float) -> int:
+    """C round(): half away from zero (Python round() is half-to-even)."""
+    return math.floor(p + 0.5) if p >= 0 else math.ceil(p - 0.5)
+
+
+def _clip(v, lo, hi):
+    return lo if v < lo else hi if v > hi else v
+
+
 def build_initial_states(rc_stat2_list, gob_count, best_state,
                          context_counts):
-    """Derive tuned per-context initial states (ffv1enc.c:960-984)."""
+    """Derive tuned per-context initial states (ffv1enc.c:960-984).
+
+    The count index is av_clip_uint8((a+b)/gob_count): the double is
+    truncated toward zero by the int conversion, THEN clipped.
+    """
     out = []
     for i, st2 in enumerate(rc_stat2_list):
         cc = context_counts[i]
@@ -198,8 +234,8 @@ def build_initial_states(rc_stat2_list, gob_count, best_state,
                     if a + b:
                         p = 256.0 * b / (a + b)
                     init[jp][k] = best_state[
-                        int(np.clip(round(p), 1, 255))][
-                        int(np.clip((a + b) / gob_count, 0, 255))]
+                        _clip(_c_round(p), 1, 255)][
+                        _clip(int((a + b) / gob_count), 0, 255)]
                     jp += 1
                     while jp < j:
                         init[jp][k] = init[jp - 1][k]
@@ -210,7 +246,7 @@ def build_initial_states(rc_stat2_list, gob_count, best_state,
                 if a + b:
                     p = 256.0 * b / (a + b)
                 init[j][k] = best_state[
-                    int(np.clip(round(p), 1, 255))][
-                    int(np.clip((a + b) / gob_count, 0, 255))]
+                    _clip(_c_round(p), 1, 255)][
+                    _clip(int((a + b) / gob_count), 0, 255)]
         out.append(init)
     return out

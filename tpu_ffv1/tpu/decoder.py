@@ -30,6 +30,7 @@ from ..core.intmath import ceil_rshift
 from ..codec.context import SliceState, slice_grid
 from .dec_scan import rc_decode_plane
 from .dec_scan_lanes import rc_decode_planes_lanes
+from .rc_dec_pallas import rc_decode_planes_pallas
 
 
 class TPUFFV1Decoder:
@@ -85,6 +86,12 @@ class TPUFFV1Decoder:
             (not g.chroma_planes or
              (g0.width % (1 << g.chroma_h_shift) == 0 and
               g0.height % (1 << g.chroma_v_shift) == 0)))
+
+        # Pallas decode kernel (VMEM-resident states/rows/byte FIFO) on
+        # real accelerators; it covers the 3-input context model (the
+        # 5-input model needs the TT row — XLA lane scan instead)
+        import jax as _jax
+        self.use_pallas = _jax.devices()[0].platform != "cpu"
 
         # per-stream host state
         self.key_frame_ok = [False] * batch
@@ -250,10 +257,18 @@ class TPUFFV1Decoder:
                 self.states = jnp.asarray(st)
             states0 = self.states
             db = jnp.asarray(bufs)
-            planes_dev, states_out, low, rng, pos = rc_decode_planes_lanes(
-                db, states0, self.one_tab, self.zero_tab, qt,
-                jnp.asarray(lows), jnp.asarray(ranges), jnp.asarray(poss),
-                specs, self.bits, five)
+            if self.use_pallas and not five:
+                planes_dev, states_out, low, rng, pos = \
+                    rc_decode_planes_pallas(
+                        db, states0, self.one_tab, self.zero_tab, qt,
+                        jnp.asarray(lows), jnp.asarray(ranges),
+                        jnp.asarray(poss), specs, self.bits)
+            else:
+                planes_dev, states_out, low, rng, pos = \
+                    rc_decode_planes_lanes(
+                        db, states0, self.one_tab, self.zero_tab, qt,
+                        jnp.asarray(lows), jnp.asarray(ranges),
+                        jnp.asarray(poss), specs, self.bits, five)
             self.states = states_out
             return dict(planes_dev=planes_dev, low=low, rng=rng, pos=pos,
                         keyframes=keyframes, parsed=parsed,

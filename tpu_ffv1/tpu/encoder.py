@@ -33,7 +33,7 @@ from ..core.rac import (ProvisionalRangeEncoder, custom_state_tables,
 from ..core.intmath import ceil_rshift
 from ..codec.context import slice_grid
 from ..codec.params import EncoderParams, resolve
-from .residual import load_plane, residuals_and_contexts
+from .residual import load_plane, quant_spec, residuals_and_contexts
 from .rc_scan import finalize_slice, rc_encode_scan
 from .rc_scan_lanes import (finalize_compact, finalize_packed,
                             finalize_packed_full,
@@ -58,15 +58,25 @@ class TPUFFV1Encoder:
     def __init__(self, params: EncoderParams, batch: int = 1, mesh=None):
         self.rp = resolve(params)
         rp = self.rp
-        if rp.ac == T.AC_GOLOMB_RICE:
-            raise NotImplementedError(
-                "TPU path currently requires the range coder "
-                "(coder=2 or coder=-2); Golomb-Rice runs on the host path")
+        self.golomb = rp.ac == T.AC_GOLOMB_RICE
         if rp.version < 2:
             raise NotImplementedError("TPU path requires version >= 3")
-        if rp.colorspace != 0 or rp.fmt.interleaved:
+        self.rgb = rp.colorspace == 1
+        if self.rgb:
+            # device RCT runs with the fixed 1,1 coefficients
+            # (ffv1enc.c:1165-1167); the v4 per-slice RCT search is a
+            # host-path feature
+            if rp.version > 3:
+                raise NotImplementedError(
+                    "TPU RGB path supports version <= 3 (v4 per-slice "
+                    "RCT search runs on the host engine)")
+            if rp.ac == T.AC_GOLOMB_RICE:
+                raise NotImplementedError(
+                    "TPU RGB path requires the range coder")
+        elif rp.fmt.interleaved:
             raise NotImplementedError(
-                "TPU path currently supports planar YUV/gray formats")
+                "TPU path currently supports planar YUV/gray and RGB "
+                "formats (not ya8)")
         self.batch = batch
         self.extradata = write_extradata(rp)
         self.geoms = slice_grid(rp.width, rp.height,
@@ -79,16 +89,31 @@ class TPUFFV1Encoder:
         self.zero_tab = jnp.asarray(zero)
 
         cc = rp.context_counts[rp.context_model]
-        n_state_planes = 1 + (1 if rp.chroma_planes else 0) + \
-            (1 if rp.transparency else 0)
+        if self.rgb:
+            # RGB plane -> state plane is (p + 1) / 2: G->0, B,R->1,
+            # A->2 (ffv1enc.c:461-467)
+            n_state_planes = 2 + (1 if rp.transparency else 0)
+        else:
+            n_state_planes = 1 + (1 if rp.chroma_planes else 0) + \
+                (1 if rp.transparency else 0)
         self.total_cc = n_state_planes * cc
         self.cc = cc
         self.qt = jnp.asarray(rp.quant_tables[rp.context_model],
                               dtype=jnp.int32)
+        # threshold/step form of the quant tables (numpy: captured as
+        # jit constants) — kills the stencil's 256-entry gathers
+        self.qspec = quant_spec(rp.quant_tables[rp.context_model])
         self.five_input = bool(rp.quant_tables[rp.context_model][3][127])
-        self.bits = 8 if rp.bits_per_raw_sample <= 8 else \
+        self.raw_bits = 8 if rp.bits_per_raw_sample <= 8 else \
             rp.bits_per_raw_sample
+        # RGB residuals are coded one bit wider than the samples: 9-bit
+        # for <= 8-bit inputs, bits + 1 above (ffv1enc.c:464-467)
+        self.bits = self.raw_bits + 1 if self.rgb else self.raw_bits
         self.fast = self.bits <= 10
+        if self.rgb and not self.fast:
+            raise NotImplementedError(
+                "TPU RGB path covers coded depths <= 10 bits (bgr0/"
+                "bgra/gbrp9); deeper RGB runs on the host engine")
         self.n_slices = len(self.geoms)
         self.L = self.n_slices * batch
         # multi-chip: shard slice lanes over a device mesh (the
@@ -116,6 +141,12 @@ class TPUFFV1Encoder:
         from concurrent.futures import ThreadPoolExecutor
         self._executor = ThreadPoolExecutor(max_workers=1)
         self._upload_pool = ThreadPoolExecutor(max_workers=1)
+        # chunked-concurrent transfers: the tunnel to remote backends
+        # multiplexes parallel RPCs (~1.5x measured on 12 MB), so plane
+        # uploads and payload downloads are split into row/lane bands
+        # issued from a small pool
+        self._xfer_pool = ThreadPoolExecutor(max_workers=4)
+        self._last_cap = 0       # speculative output-fetch width
         # stream length per slice (static per geometry); padded to the
         # scan unroll factor (padding lanes are exact no-ops).
         # U=2 measured best on v5e (fixed per-step costs halve; larger U
@@ -150,18 +181,52 @@ class TPUFFV1Encoder:
              (g0.width % (1 << rp.chroma_h_shift) == 0 and
               g0.height % (1 << rp.chroma_v_shift) == 0)))
         # transfer-size cap for the output byte planes (host re-checks
-        # counts; codeable worst case is ~2.2 bytes/pixel at 8 bit)
-        self.out_cap = self.n_max * 3 + 4096
+        # counts; codeable worst case is ~2.2 bytes/pixel at 8 bit for
+        # the range coder, (12 + bits)/8 for the Golomb escape path)
+        self.out_cap = self.n_max * (4 if self.golomb else 3) + 4096
         # whole-frame fused pipeline (one dispatch per frame — critical
         # under remote/eager backends where each op is a round trip)
         self._frame_fn = (jax.jit(self._frame_pipeline,
                                   static_argnames=("use_pallas",))
-                          if self.fast else None)
+                          if self.fast and not self.golomb else None)
+
+        if self.golomb:
+            # device Golomb-Rice path (the reference's default coder,
+            # ffv1enc.c:326-367): lane-major VLC/run-mode scan with
+            # in-scan bit packing (tpu/golomb_scan.py)
+            if not self.uniform:
+                raise NotImplementedError(
+                    "TPU Golomb-Rice path requires a uniform slice "
+                    "grid; use the host engine otherwise")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "mesh sharding is wired for the range-coder path")
+            from .golomb_scan import VLC_FRESH, make_flags
+            g0 = self.geoms[0]
+            dims = [(g0.width, g0.height, 0)]
+            if rp.chroma_planes:
+                cw = ceil_rshift(g0.width, rp.chroma_h_shift)
+                ch = ceil_rshift(g0.height, rp.chroma_v_shift)
+                dims += [(cw, ch, 1)] * 2
+            if rp.transparency:
+                dims.append((g0.width, g0.height,
+                             2 if rp.chroma_planes else 1))
+            fl = make_flags(dims)
+            assert fl.shape[0] == self.stream_lens[0]
+            self._gflags = jnp.asarray(np.pad(
+                fl, (0, self.n_max - fl.shape[0])))
+            fresh = np.array(VLC_FRESH, np.int32)
+            self._vlc_fresh = np.tile(
+                fresh, (self.L, self.total_cc, 1))
+            self.vlc_states = jnp.asarray(self._vlc_fresh)
+            self._frame_fn = jax.jit(self._frame_pipeline_golomb)
 
     # -----------------------------------------------------------------
 
     def _stream_len(self, geom):
         rp = self.rp
+        if self.rgb:
+            return geom.width * geom.height * (3 + rp.transparency)
         n = geom.width * geom.height
         if rp.chroma_planes:
             cw = ceil_rshift(geom.width, rp.chroma_h_shift)
@@ -182,7 +247,8 @@ class TPUFFV1Encoder:
             s = load_plane(jnp.asarray(plane_arr), self.bits,
                            rp.packed_at_lsb)
             ctx, diff = residuals_and_contexts(s, self.qt, self.bits,
-                                               self.five_input)
+                                               self.five_input,
+                                               qspec=self.qspec)
             parts_ctx.append(ctx.reshape(-1) + state_plane * self.cc)
             parts_diff.append(diff.reshape(-1))
 
@@ -195,6 +261,49 @@ class TPUFFV1Encoder:
         if rp.transparency:
             add(planes[-1][y:y + h, x:x + w], 2)
         return jnp.concatenate(parts_ctx), jnp.concatenate(parts_diff)
+
+    def _host_prefix_golomb(self, si: int, keyframe: bool) -> bytes:
+        """Terminated range-coded slice header for the Golomb path
+        (header always range coded; rc terminated after a v3 sentinel
+        bit and the bit writer starts at ac_byte_count —
+        ffv1enc.c:1176-1183)."""
+        from ..core.rac import RangeEncoder
+        rp = self.rp
+        enc = RangeEncoder(*default_state_tables())
+        if si == 0:
+            keystate = np.array([128], dtype=np.uint8)
+            enc.put_rac(keystate, 0, 1 if keyframe else 0)
+
+        class _SS:
+            pass
+
+        ss = _SS()
+        ss.geom = self.geoms[si]
+        ss.slice_coding_mode = 0
+        ss.slice_rct_by_coef = 1
+        ss.slice_rct_ry_coef = 1
+        write_slice_header(rp, ss, enc)
+        if rp.version > 2:
+            sentinel = np.array([129], dtype=np.uint8)
+            enc.put_rac(sentinel, 0, 0)
+        return enc.terminate()
+
+    def _frame_pipeline_golomb(self, streams, vlc0, prefixes, plens):
+        """Fused Golomb-Rice device pipeline: stencil -> VLC/run scan
+        with in-scan bit packing -> byte compaction."""
+        streams = tuple(
+            (jnp.concatenate(p, axis=0) if len(p) > 1 else p[0])
+            .reshape(self.batch, -1, p[0].shape[-1])
+            if isinstance(p, tuple) else p
+            for p in streams)
+        ctxs, diffs, acts = self._streams_uniform(streams)
+        from .golomb_scan import finalize_bytes, golomb_encode_scan_lanes
+        ri0 = jnp.zeros((self.L,), jnp.int32)
+        packed, vlc_out, _ = golomb_encode_scan_lanes(
+            ctxs, diffs, acts, self._gflags, vlc0, ri0, self.bits,
+            self.cc)
+        out, counts = finalize_bytes(packed, prefixes, plens)
+        return out[:, :self.out_cap], counts, vlc_out
 
     def _host_prefix(self, si: int, keyframe: bool):
         rp = self.rp
@@ -238,7 +347,8 @@ class TPUFFV1Encoder:
         def stencil(img):
             s = load_plane(img, self.bits, rp.packed_at_lsb)
             c, d = residuals_and_contexts(s, self.qt, self.bits,
-                                          self.five_input)
+                                          self.five_input,
+                                          qspec=self.qspec)
             return c.reshape(-1), d.reshape(-1)
 
         parts_ctx, parts_diff = [], []
@@ -269,11 +379,16 @@ class TPUFFV1Encoder:
                         plens, use_pallas=True):
         """Fused device pipeline: stencil -> lane scan -> finalize.
 
-        ``streams``: tuple of per-plane arrays stacked over the batch
-        (plane k: (batch, Hk, Wk)) — one upload per plane type instead
-        of batch x planes round trips on remote backends.  Lane index =
-        stream * n_slices + slice.
+        ``streams``: tuple of per-plane arrays stacked over the batch —
+        each entry either (batch, Hk, Wk) or a tuple of row-band chunks
+        of its (batch*Hk, Wk) flattening (chunked-concurrent upload).
+        Lane index = stream * n_slices + slice.
         """
+        streams = tuple(
+            (jnp.concatenate(p, axis=0) if len(p) > 1 else p[0])
+            .reshape(self.batch, -1, p[0].shape[-1])
+            if isinstance(p, tuple) else p
+            for p in streams)
         if self.uniform:
             ctxs, diffs, acts = self._streams_uniform(streams)
         else:
@@ -394,6 +509,11 @@ class TPUFFV1Encoder:
         keyframe = (rp.gop_size == 0 or
                     self.picture_number % rp.gop_size == 0)
 
+        if self.golomb:
+            self._submit_golomb(streams_np, keyframe)
+            self.picture_number += 1
+            return
+
         # host prefixes (identical across streams: geometry + key bit)
         lows = np.zeros(self.L, np.int32)
         ranges = np.zeros(self.L, np.int32)
@@ -409,13 +529,25 @@ class TPUFFV1Encoder:
 
         if self.fast:
             def upload():
-                # planes are stacked over the batch: one upload per
-                # plane type (each jnp.asarray is a round trip on
-                # remote backends)
+                # planes are stacked over the batch and split into
+                # ~3 MB row bands issued concurrently — the tunnel to
+                # remote backends multiplexes parallel transfer RPCs
                 nplanes = len(streams_np[0])
-                return tuple(
-                    jnp.asarray(np.stack([s[k] for s in streams_np]))
-                    for k in range(nplanes))
+                plane_futs = []
+                for k in range(nplanes):
+                    stack = np.stack([s[k] for s in streams_np])
+                    w = stack.shape[-1]
+                    flat = stack.reshape(-1, w)
+                    nch = max(1, min(4, flat.nbytes // (3 << 20)))
+                    bounds = np.linspace(0, flat.shape[0],
+                                         nch + 1).astype(int)
+                    plane_futs.append([
+                        self._xfer_pool.submit(
+                            lambda a: jnp.asarray(a).block_until_ready(),
+                            flat[a:b])
+                        for a, b in zip(bounds[:-1], bounds[1:])])
+                return tuple(tuple(f.result() for f in fl)
+                             for fl in plane_futs)
 
             up_fut = self._upload_pool.submit(upload)
 
@@ -449,6 +581,37 @@ class TPUFFV1Encoder:
         self._pending.append(dict(payloads=payloads, keyframe=keyframe))
         self.picture_number += 1
 
+    def _submit_golomb(self, streams_np, keyframe: bool):
+        prefixes = np.zeros((self.L, PREFIX_CAP), np.int32)
+        plens = np.zeros(self.L, np.int32)
+        for si in range(self.n_slices):
+            pb = self._host_prefix_golomb(si, keyframe)
+            for bi in range(self.batch):
+                lane = bi * self.n_slices + si
+                prefixes[lane, :len(pb)] = np.frombuffer(pb, np.uint8)
+                plens[lane] = len(pb)
+
+        def upload():
+            nplanes = len(streams_np[0])
+            return tuple(
+                jnp.asarray(np.stack([s[k] for s in streams_np]))
+                for k in range(nplanes))
+
+        up_fut = self._upload_pool.submit(upload)
+
+        def work():
+            streams = up_fut.result()
+            vlc0 = jnp.asarray(self._vlc_fresh) if keyframe \
+                else self.vlc_states
+            out, counts, vlc_out = self._frame_fn(
+                streams, vlc0, jnp.asarray(prefixes),
+                jnp.asarray(plens))
+            self.vlc_states = vlc_out
+            return dict(out=out, counts=counts, keyframe=keyframe,
+                        golomb=True)
+
+        self._pending.append(self._executor.submit(work))
+
     def collect_frames(self):
         """Sync half of encode_frames: wait for the in-flight device
         pipeline, fetch the byte planes, and assemble packets."""
@@ -459,6 +622,15 @@ class TPUFFV1Encoder:
         keyframe = p["keyframe"]
         if "payloads" in p:
             payloads = p["payloads"]
+        elif p.get("golomb"):
+            counts_np = np.asarray(p["counts"])
+            if counts_np.max() > self.out_cap:
+                raise RuntimeError("encoded slice exceeded output cap")
+            cap2 = min(self.out_cap,
+                       (int(counts_np.max()) + 511) // 512 * 512)
+            out_np = np.asarray(p["out"][:, :cap2])
+            payloads = [bytes(out_np[li, :counts_np[li]])
+                        for li in range(self.L)]
         else:
             out, counts = p["out"], p["counts"]
             if bool(np.asarray(p["overflow"]).any()):
@@ -481,14 +653,44 @@ class TPUFFV1Encoder:
                         packed, low, rng, jnp.asarray(p["prefixes"]),
                         jnp.asarray(p["plens"]))
                     out = out[:, :self.out_cap]
+            # speculative fetch: start pulling the byte planes at the
+            # previous frame's width while the (tiny) counts transfer
+            # is in flight — frame sizes are stable, so the counts
+            # roundtrip stops serializing the big download
+            spec = min(self._last_cap, self.out_cap)
+            nb = 4
+            bounds = np.linspace(0, self.L, nb + 1).astype(int)
+
+            def fetch(lo, hi, c0, c1):
+                return np.asarray(out[lo:hi, c0:c1])
+
+            spec_futs = None
+            if spec:
+                spec_futs = [self._xfer_pool.submit(fetch, a, b, 0, spec)
+                             for a, b in zip(bounds[:-1], bounds[1:])
+                             if a < b]
             counts_np = np.asarray(counts)
             if counts_np.max() > self.out_cap:
                 raise RuntimeError("encoded slice exceeded output cap")
-            # fetch only the used byte range (device->host transfers over
-            # a tunnel dominate otherwise)
             cap2 = min(self.out_cap,
                        (int(counts_np.max()) + 511) // 512 * 512)
-            out_np = np.asarray(out[:, :cap2])
+            self._last_cap = min(self.out_cap, cap2 + 2048)
+            if spec_futs is not None and spec >= cap2:
+                out_np = np.concatenate([f.result() for f in spec_futs],
+                                        axis=0)[:, :cap2]
+            elif spec_futs is not None:
+                tail_futs = [self._xfer_pool.submit(fetch, a, b, spec,
+                                                    cap2)
+                             for a, b in zip(bounds[:-1], bounds[1:])
+                             if a < b]
+                out_np = np.concatenate(
+                    [np.concatenate([h.result(), t.result()], axis=1)
+                     for h, t in zip(spec_futs, tail_futs)], axis=0)
+            else:
+                futs = [self._xfer_pool.submit(fetch, a, b, 0, cap2)
+                        for a, b in zip(bounds[:-1], bounds[1:]) if a < b]
+                out_np = np.concatenate([f.result() for f in futs],
+                                        axis=0)
             payloads = [bytes(out_np[li, :counts_np[li]])
                         for li in range(self.L)]
 

@@ -67,9 +67,12 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     lane_lt32 = lane128 < 32
+    # f32 operands: the bf16 identity trips a Mosaic broadcast
+    # verification error in this kernel's shapes (bf16 32x32 -> f32);
+    # values <= 255 are exact in either type
     eye32 = (jax.lax.broadcasted_iota(jnp.int32, (32, 32), 0) ==
              jax.lax.broadcasted_iota(jnp.int32, (32, 32), 1)) \
-        .astype(jnp.bfloat16)
+        .astype(jnp.float32)
 
     def tree(tab_ref, idx):
         """tab[idx] for (1, L) idx in [0, 255] via arithmetic selects."""
@@ -89,12 +92,14 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
         t = tree(t1_ref, idx)
         return jnp.where(b == 1, t, (256 - t) & 0xFF)
 
-    def feed_words(nrounds):
+    def feed_words(nrounds, p):
         """Insert one buffer word per round into each deficient lane's
-        circular window (fill - pos < 24 keeps fill <= 28 < 32)."""
+        circular window (fill - pos < 24 keeps fill <= 28 < 32).
+
+        ``p`` must be the CURRENT read position (the loop-carried value,
+        not the poss scratch, which is only synced at row end)."""
         for _ in range(nrounds):
             fp = fills[pl.ds(0, 1), :]
-            p = poss[pl.ds(0, 1), :]
             do = (fp - p) < 24
             w_acc = jnp.zeros((1, L), jnp.int32)
             for lane in range(L):
@@ -117,7 +122,7 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
         poss[...] = pos0_ref[...]
         fills[pl.ds(0, 1), :] = pos0_ref[...] & ~3
         win[...] = jnp.zeros((32, L), jnp.int32)
-        feed_words(8)
+        feed_words(8, pos0_ref[...])
         plft_ref[...] = jnp.zeros((1, L), jnp.int32)
         rowbuf[...] = jnp.zeros((Wpad + 16, L), jnp.int32)
 
@@ -148,7 +153,7 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
 
             @pl.when(minf[0, 0] < 20)
             def _():
-                feed_words(5)
+                feed_words(5, pos)
 
             T = prev16[px:px + 1, :]
             RT = prev16[px + 1:px + 2, :]
@@ -183,7 +188,7 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
                 subs.append(sub)
             rows8 = jnp.concatenate(row_list, 0)          # (L, 32) int8
             rowsT = jax.lax.dot_general(
-                eye32, rows8.astype(jnp.bfloat16),
+                eye32, rows8.astype(jnp.float32),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(jnp.int32) \
                 & 0xFF                                    # (32, L)
@@ -254,7 +259,7 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
                     rows_new.append(base_rows[p:p + 1])
             new_rowsT = jnp.concatenate(rows_new, 0)
             new_rows8 = jax.lax.dot_general(
-                new_rowsT.astype(jnp.bfloat16), eye32,
+                new_rowsT.astype(jnp.float32), eye32,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(jnp.int32) \
                 & 0xFF

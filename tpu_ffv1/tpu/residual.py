@@ -22,6 +22,7 @@ array form:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def neighbors(s: jnp.ndarray):
@@ -53,24 +54,84 @@ def _fold(diff, bits):
     return ((diff + half) & ((1 << bits) - 1)) - half
 
 
+def quant_spec(qt_np):
+    """Decompose the (5, 256) quant table into threshold/step form.
+
+    Each normative subtable, viewed as a function of the SIGNED byte
+    gradient d in [-128, 127] (index (d & 0xFF), ffv1.h:181-189), is a
+    monotone step function with <= 10 change points (11 levels).  On TPU
+    a 256-entry gather over an image-sized index array is ~10x slower
+    than 10 fused compare+multiply-adds, so the stencil evaluates
+        q(d) = base + sum_j inc_j * (d >= t_j)
+    Returns (thresholds int32 (5, NT), increments int32 (5, NT),
+    bases int32 (5,)) padded with never-true thresholds (128).
+    """
+    qt_np = np.asarray(qt_np)
+    ths, incs, bases = [], [], []
+    for k in range(5):
+        signed = np.array([qt_np[k][d & 0xFF] for d in range(-128, 128)],
+                          np.int64)
+        t = [int(d) for d in range(-127, 128)
+             if signed[d + 128] != signed[d + 127]]
+        inc = [int(signed[d + 128] - signed[d + 127]) for d in t]
+        ths.append(t)
+        incs.append(inc)
+        bases.append(int(signed[0]))
+    nt = max(1, max(len(t) for t in ths))
+    if nt > 24:   # non-normative table: caller should use the gather path
+        return None
+    ths = [t + [128] * (nt - len(t)) for t in ths]
+    incs = [i + [0] * (nt - len(i)) for i in incs]
+    return (np.array(ths, np.int32), np.array(incs, np.int32),
+            np.array(bases, np.int32))
+
+
+def _quant_steps(d, ths_k, incs_k, base_k):
+    """q(d) for signed gradient array d via the threshold/step form."""
+    q = jnp.full_like(d, base_k)
+    for j in range(ths_k.shape[0]):
+        q = q + incs_k[j] * (d >= ths_k[j]).astype(jnp.int32)
+    return q
+
+
+def _sgrad(a, b):
+    """Signed byte gradient ((a - b) wrapped to [-128, 127])."""
+    return ((a - b + 128) & 0xFF) - 128
+
+
 def residuals_and_contexts(s: jnp.ndarray, quant_table: jnp.ndarray,
-                           bits: int, five_input: bool):
+                           bits: int, five_input: bool, qspec=None):
     """Fused stencil: per-pixel (context_id, folded_residual).
 
     ``quant_table``: (5, 256) int32.  ``five_input``: static flag for the
-    5-gradient model (quant_table[3][127] != 0, ffv1.h:178).
+    5-gradient model (quant_table[3][127] != 0, ffv1.h:178).  ``qspec``:
+    optional precomputed quant_spec() arrays — replaces the three/five
+    256-entry gathers with fused compare+MAC chains (the production TPU
+    path; measured ~8x faster at 1080p).
     Returns (ctx >= 0 int32 (H,W), diff int32 (H,W)) after the sign fold
     (ffv1enc.c:312-317).
     """
     n = neighbors(s.astype(jnp.int32))
     L, T, LT, RT = n["L"], n["T"], n["LT"], n["RT"]
 
-    ctx = (quant_table[0][(L - LT) & 0xFF] +
-           quant_table[1][(LT - T) & 0xFF] +
-           quant_table[2][(T - RT) & 0xFF])
-    if five_input:
-        ctx = ctx + (quant_table[3][(n["LL"] - L) & 0xFF] +
-                     quant_table[4][(n["TT"] - T) & 0xFF])
+    if qspec is not None:
+        ths, incs, bases = qspec
+        ctx = (_quant_steps(_sgrad(L, LT), ths[0], incs[0], bases[0]) +
+               _quant_steps(_sgrad(LT, T), ths[1], incs[1], bases[1]) +
+               _quant_steps(_sgrad(T, RT), ths[2], incs[2], bases[2]))
+        if five_input:
+            ctx = ctx + \
+                _quant_steps(_sgrad(n["LL"], L), ths[3], incs[3],
+                             bases[3]) + \
+                _quant_steps(_sgrad(n["TT"], T), ths[4], incs[4],
+                             bases[4])
+    else:
+        ctx = (quant_table[0][(L - LT) & 0xFF] +
+               quant_table[1][(LT - T) & 0xFF] +
+               quant_table[2][(T - RT) & 0xFF])
+        if five_input:
+            ctx = ctx + (quant_table[3][(n["LL"] - L) & 0xFF] +
+                         quant_table[4][(n["TT"] - T) & 0xFF])
 
     # integer median of (L, L+T-LT, T): sum - min - max
     b = L + T - LT
@@ -83,6 +144,23 @@ def residuals_and_contexts(s: jnp.ndarray, quant_table: jnp.ndarray,
     diff = jnp.where(neg, -diff, diff)
     diff = _fold(diff, bits)
     return ctx, diff
+
+
+def rct_transform(g, b, r, bits: int, by: int = 1, ry: int = 1):
+    """Forward reversible color transform as a device op
+    (ffv1enc.c:447-453): b -= g; r -= g; g += (b*by + r*ry) >> 2;
+    b += offset; r += offset with offset = 1 << bits.
+
+    ``by``/``ry`` are the slice RCT coefficients (fixed 1,1 for
+    version <= 3; the v4 per-slice search stays on the host).  Inputs
+    int32 arrays of equal shape; returns transformed (g, b, r).
+    """
+    g = g.astype(jnp.int32)
+    b = b.astype(jnp.int32) - g
+    r = r.astype(jnp.int32) - g
+    g = g + ((b * by + r * ry) >> 2)
+    offset = jnp.int32(1) << bits
+    return g, b + offset, r + offset
 
 
 def wrap_int16(v):
