@@ -247,3 +247,81 @@ def test_tpu_golomb_gray_and_444():
         for fi, f in enumerate(frames):
             pkt, kf = dev.encode_frame(f)
             assert pkt == ref[fi][0], pix
+
+
+def test_tpu_rgb_device_encode_byte_exact():
+    """Device RGB path (colorspace=1): packed bgr0/bgra with the RCT as
+    part of the stencil (ffv1enc.c:447-453), row-interleaved plane
+    coding order (ffv1enc.c:428-470), GOP state carry."""
+    rng = np.random.RandomState(3)
+
+    def frame(t, alpha):
+        f = np.zeros((H, W, 4), np.uint8)
+        f[..., 0] = (np.add.outer(np.arange(H), np.arange(W)) + t * 7) % 256
+        f[..., 1] = rng.randint(0, 256, (H, W))
+        f[..., 2] = (np.add.outer(np.arange(H) * 2, np.arange(W)) + t) % 256
+        if alpha:
+            f[..., 3] = rng.randint(0, 256, (H, W))
+        return f
+
+    for pix in ("bgr0", "bgra"):
+        frames = [frame(t, pix == "bgra") for t in range(3)]
+        kw = dict(width=W, height=H, pix_fmt=pix, level=3, coder=2,
+                  slices=4, gop_size=2)
+        host = FFV1Encoder(EncoderParams(**kw))
+        ref = [host.encode_frame(f) for f in frames]
+        dev = TPUFFV1Encoder(EncoderParams(**kw))
+        assert dev.rgb
+        for fi, f in enumerate(frames):
+            pkt, kf = dev.encode_frame(f)
+            assert pkt == ref[fi][0] and kf == ref[fi][1], (pix, fi)
+
+
+def test_tpu_gbrp9_device_encode_batch():
+    """Planar >8-bit RGB on the device path (gbrp9 -> 10-bit coded;
+    the reference reads plane 0 into its 'b' variable,
+    ffv1enc.c:441-444), batch lockstep."""
+    rng = np.random.RandomState(11)
+    frames = [[rng.randint(0, 512, (H, W)).astype(np.uint16)
+               for _ in range(3)] for _ in range(3)]
+    kw = dict(width=W, height=H, pix_fmt="gbrp9le", level=3, coder=2,
+              slices=4, gop_size=2)
+    host = FFV1Encoder(EncoderParams(**kw))
+    ref = [host.encode_frame(f) for f in frames]
+    dev = TPUFFV1Encoder(EncoderParams(**kw), batch=2)
+    for fi, f in enumerate(frames):
+        for pkt, kf in dev.encode_frames([f, f]):
+            assert pkt == ref[fi][0] and kf == ref[fi][1], fi
+
+
+def test_tpu_pcm_fallback_worst_case():
+    """Version-4 PCM retry (ffv1enc.c:1207-1217): a geometry whose
+    per-slice budget (ffv1enc.c:1281-1311) cannot hold range-coded
+    16-bit noise flips slices to slice_coding_mode=1.  The stream must
+    stay decodable with contexts reset on PCM slices (ffv1enc.c:
+    1054-1056, ffv1dec.c:419-420).  (The reference binary ABORTS on
+    this input — its PCM retry re-fails the encode_line w*35 margin
+    check, ffv1enc.c:283-287 + the av_assert0 at :1208 — so survival
+    here is strictly better than the reference.)"""
+    from tpu_ffv1.codec.decoder import FFV1Decoder as HostDecoder
+    Wd, Hd = 1024, 4
+    rng = np.random.RandomState(2)
+    frames = [[rng.randint(0, 65536, (Hd, Wd)).astype(np.uint16)
+               for _ in range(3)] for _ in range(2)]
+    enc = TPUFFV1Encoder(EncoderParams(
+        width=Wd, height=Hd, pix_fmt="yuv444p16le", level=4, strict=-2,
+        coder=2, slices=4, gop_size=2))
+    pcm_size = None
+    dec = HostDecoder(Wd, Hd, enc.extradata)
+    for fi, f in enumerate(frames):
+        pkt, _ = enc.encode_frame(f)
+        if pcm_size is None:
+            pcm_size = len(pkt)
+        # all-PCM packets are content-independent in size
+        assert len(pkt) == pcm_size
+        # PCM is 2 bytes/sample + headers; range coding of this noise
+        # would need ~2.8+
+        assert len(pkt) < Wd * Hd * 3 * 2 + 512
+        out, _ = dec.decode_frame(pkt)
+        for a, b in zip(out, f):
+            assert np.array_equal(np.asarray(a), b)

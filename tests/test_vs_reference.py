@@ -160,3 +160,28 @@ def test_v4_encode_reference_decodes(tmp_path, pix_fmt):
                                 extradata=enc.extradata,
                                 packets=pkts, keyflags=keys))
     assert frames_equal(ref_decode(my_avi, pix_fmt, W, H, tmpdir), frames)
+
+
+def test_v4_yuv444p16_exact_parity(tmp_path):
+    """v4 full-res >8-bit YUV is byte-identical to the reference,
+    including its RCT parameter search which runs on YUV too
+    (ffv1enc.c:1163-1164 has no colorspace guard) and reads the previous
+    row back from an int16_t scratch buffer (ffv1enc.c:1087) — noise
+    input exercises the 16-bit wrap of those first differences."""
+    tmpdir = str(tmp_path)
+    rng = np.random.RandomState(1)
+    frames = [[rng.randint(0, 65536, (H, W)).astype(np.uint16)
+               for _ in range(3)] for _ in range(4)]
+    avi = os.path.join(tmpdir, "ref16.avi")
+    st = ref_encode(frames, "yuv444p16le", W, H,
+                    ["-level", "4", "-strict", "-2", "-coder", "2",
+                     "-slices", "4", "-g", "2"], avi, tmpdir)
+    enc = FFV1Encoder(EncoderParams(width=W, height=H,
+                                    pix_fmt="yuv444p16le", level=4,
+                                    strict=-2, coder=2, slices=4,
+                                    gop_size=2))
+    assert extradata_equal(st.extradata, enc.extradata)
+    for i, f in enumerate(frames):
+        pkt, _ = enc.encode_frame(f)
+        assert pkt == st.packets[i], \
+            f"frame {i} differs (mine {len(pkt)}B ref {len(st.packets[i])}B)"

@@ -27,7 +27,15 @@ def build_parser():
     p.add_argument("-f", dest="fmt", default=None,
                    help="input/output format (rawvideo|avi); inferred "
                         "from extension otherwise")
-    p.add_argument("-pix_fmt", default="yuv420p")
+    p.add_argument("-pix_fmt", default="yuv420p",
+                   help="coded format on encode / output raw format on "
+                        "decode; conversions run through the swscale "
+                        "analog (neighbor+bitexact semantics)")
+    p.add_argument("-in_pix_fmt", default=None,
+                   help="raw INPUT format when it differs from -pix_fmt "
+                        "(the in-pipeline conversion the FATE harness "
+                        "does with -pix_fmt + -sws_flags, "
+                        "tests/fate/vcodec.mak:119-121)")
     p.add_argument("-s", dest="size", default=None,
                    help="WxH (required for rawvideo input)")
     p.add_argument("-c:v", "-vcodec", dest="codec", default=None)
@@ -134,16 +142,27 @@ def run(argv=None):
             planes, _ = dec.decode_frame(pkt)
             frames.append(planes)
             npix += st.width * st.height
+        conv = ""
+        if dec.pix_fmt and args.pix_fmt != dec.pix_fmt:
+            from ..swscale import convert
+            frames = [convert(f, dec.pix_fmt, args.pix_fmt,
+                              st.width, st.height) for f in frames]
+            conv = f" ({dec.pix_fmt} -> {args.pix_fmt})"
         raw_io.write_frames(args.output, frames)
-        what = f"decoded {len(frames)} frames {st.width}x{st.height}"
+        what = f"decoded {len(frames)} frames {st.width}x{st.height}{conv}"
     else:
         # ---- encode path ----
         if not args.size:
             sys.exit("error: -s WxH is required for rawvideo input")
         w, h = (int(v) for v in args.size.split("x"))
-        frames = raw_io.read_frames(args.input, args.pix_fmt, w, h)
+        in_fmt = args.in_pix_fmt or args.pix_fmt
+        frames = raw_io.read_frames(args.input, in_fmt, w, h)
         if args.frames is not None:
             frames = frames[:args.frames]
+        if in_fmt != args.pix_fmt:
+            from ..swscale import convert
+            frames = [convert(f, in_fmt, args.pix_fmt, w, h)
+                      for f in frames]
         params = EncoderParams(
             width=w, height=h, pix_fmt=args.pix_fmt, level=args.level,
             coder=args.coder, context_model=args.context,

@@ -111,11 +111,24 @@ class FFV1Encoder:
         ss.slice_rct_ry_coef = 1
         if rp.version > 3 and rp.colorspace == 1:
             # per-slice RCT search (ffv1enc.c:1163-1168; see codec/rct.py
-            # for why YUV keeps the defaults here)
+            # for why subsampled/8-bit YUV keeps the defaults)
             from .rct import choose_rct_params
             sp0 = self._slice_planes(planes, geom)
             ss.slice_rct_by_coef, ss.slice_rct_ry_coef = \
                 choose_rct_params(sp0, rp.bits_per_raw_sample <= 8)
+        elif (rp.version > 3 and rp.colorspace == 0 and
+              rp.chroma_planes and rp.bits_per_raw_sample > 8 and
+              rp.chroma_h_shift == 0 and rp.chroma_v_shift == 0):
+            # the reference runs the RCT search on YUV too
+            # (ffv1enc.c:1163-1164 has no colorspace guard), reading
+            # Y/U/V as its b/g/r planes.  For full-res >8-bit chroma the
+            # reads are in-bounds and a pure function of the pixels, so
+            # parity is exact; subsampled or 8-bit layouts would read
+            # stride-dependent garbage (see codec/rct.py) and keep (1,1)
+            from .rct import choose_rct_params
+            sp0 = self._slice_planes(planes, geom)
+            ss.slice_rct_by_coef, ss.slice_rct_ry_coef = \
+                choose_rct_params(sp0[:3], False)
 
         if keyframe:
             clear_slice_state(rp, ss)

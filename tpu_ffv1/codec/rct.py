@@ -47,10 +47,17 @@ def choose_rct_params(planes, lbd: bool):
         return d
 
     ab, ag, ar = hdiff(b), hdiff(g), hdiff(r)
-    # second-order: current row's hdiff minus previous row's, x>=1 y>=1
-    bg = ag[1:, 1:] - ag[:-1, 1:]
-    bb = ab[1:, 1:] - ab[:-1, 1:]
-    br = ar[1:, 1:] - ar[:-1, 1:]
+
+    # second-order: current row's hdiff minus previous row's, x>=1 y>=1.
+    # The previous row is read back from the reference's int16_t scratch
+    # buffer (ffv1enc.c:1087 `int16_t *sample[3]`), so >8-bit first
+    # differences wrap to int16 before the subtraction.
+    def w16(v):
+        return ((v + 0x8000) & 0xFFFF) - 0x8000
+
+    bg = ag[1:, 1:] - w16(ag[:-1, 1:])
+    bb = ab[1:, 1:] - w16(ab[:-1, 1:])
+    br = ar[1:, 1:] - w16(ar[:-1, 1:])
     br = br - bg
     bb = bb - bg
 

@@ -33,7 +33,8 @@ from ..core.rac import (ProvisionalRangeEncoder, custom_state_tables,
 from ..core.intmath import ceil_rshift
 from ..codec.context import slice_grid
 from ..codec.params import EncoderParams, resolve
-from .residual import load_plane, quant_spec, residuals_and_contexts
+from .residual import (load_plane, quant_spec, rct_transform,
+                       residuals_and_contexts)
 from .rc_scan import finalize_slice, rc_encode_scan
 from .rc_scan_lanes import (finalize_compact, finalize_packed,
                             finalize_packed_full,
@@ -180,6 +181,10 @@ class TPUFFV1Encoder:
             (not rp.chroma_planes or
              (g0.width % (1 << rp.chroma_h_shift) == 0 and
               g0.height % (1 << rp.chroma_v_shift) == 0)))
+        if self.rgb and not self.uniform:
+            raise NotImplementedError(
+                "TPU RGB path requires a uniform slice grid; use the "
+                "host engine otherwise")
         # transfer-size cap for the output byte planes (host re-checks
         # counts; codeable worst case is ~2.2 bytes/pixel at 8 bit for
         # the range coder, (12 + bits)/8 for the Golomb escape path)
@@ -344,6 +349,9 @@ class TPUFFV1Encoder:
         rp = self.rp
         nh, nv = rp.num_h_slices, rp.num_v_slices
 
+        if self.rgb:
+            return self._streams_uniform_rgb(streams)
+
         def stencil(img):
             s = load_plane(img, self.bits, rp.packed_at_lsb)
             c, d = residuals_and_contexts(s, self.qt, self.bits,
@@ -367,6 +375,57 @@ class TPUFFV1Encoder:
             add(streams[-1], 2)
         ctxs = jnp.concatenate(parts_ctx, axis=1)
         diffs = jnp.concatenate(parts_diff, axis=1)
+        n = ctxs.shape[1]
+        assert n == self.stream_lens[0]
+        ctxs = jnp.pad(ctxs, ((0, 0), (0, self.n_max - n)))
+        diffs = jnp.pad(diffs, ((0, 0), (0, self.n_max - n)))
+        acts_np = np.zeros((self.L, self.n_max), bool)
+        acts_np[:, :n] = True
+        return ctxs, diffs, jnp.asarray(acts_np)
+
+    def _streams_uniform_rgb(self, streams):
+        """(ctx, diff) lane streams for RGB (colorspace=1).
+
+        Coding order interleaves planes per ROW — for each y the G, B,
+        R(, A) lines are coded in sequence (ffv1enc.c:428-470) — so the
+        per-plane stencil outputs are stacked on a row-interior axis
+        before flattening.  The RCT runs on the full frame before slice
+        cropping (pixel-local, so slice-equivalent)."""
+        rp = self.rp
+        nh, nv = rp.num_h_slices, rp.num_v_slices
+        B = self.batch
+        if rp.fmt.interleaved:
+            # packed bgra/bgr0: uploaded as (B, H, W*4) uint8 rows
+            x = streams[0].reshape(B, rp.height, rp.width, 4) \
+                .astype(jnp.int32)
+            b, g, r = x[..., 0], x[..., 1], x[..., 2]
+            a = x[..., 3] if rp.transparency else None
+        else:
+            # planar gbrp: the reference reads plane 0 into its "b"
+            # variable and plane 1 into "g" (ffv1enc.c:441-444) — the
+            # coded order is reproduced operationally, matching the
+            # host engine (codec/slice_codec.py encode_rgb_frame)
+            b = streams[0].astype(jnp.int32)
+            g = streams[1].astype(jnp.int32)
+            r = streams[2].astype(jnp.int32)
+            a = streams[3].astype(jnp.int32) if rp.transparency else None
+        g, b, r = rct_transform(g, b, r, self.raw_bits)
+        planes = [g, b, r] + ([a] if a is not None else [])
+        offs = [0, self.cc, self.cc, 2 * self.cc]
+
+        def stencil(img):
+            return residuals_and_contexts(img, self.qt, self.bits,
+                                          self.five_input,
+                                          qspec=self.qspec)
+
+        ctx_p, diff_p = [], []
+        for p_i, arr in enumerate(planes):
+            crops = self._crops_uniform(arr, nh, nv)      # (L, h, w)
+            c, d = jax.vmap(stencil)(crops)               # (L, h, w)
+            ctx_p.append(c + offs[p_i])
+            diff_p.append(d)
+        ctxs = jnp.stack(ctx_p, axis=2).reshape(self.L, -1)
+        diffs = jnp.stack(diff_p, axis=2).reshape(self.L, -1)
         n = ctxs.shape[1]
         assert n == self.stream_lens[0]
         ctxs = jnp.pad(ctxs, ((0, 0), (0, self.n_max - n)))
@@ -568,7 +627,8 @@ class TPUFFV1Encoder:
                     out=out, counts=counts, overflow=overflow,
                     packed=packed, low=low, rng=rng, keyframe=keyframe,
                     streams=streams, states0=states0, lows=lows,
-                    ranges=ranges, prefixes=prefixes, plens=plens)
+                    ranges=ranges, prefixes=prefixes, plens=plens,
+                    streams_np=streams_np)
 
             self._pending.append(self._executor.submit(work))
             self.picture_number += 1
@@ -670,8 +730,25 @@ class TPUFFV1Encoder:
                              for a, b in zip(bounds[:-1], bounds[1:])
                              if a < b]
             counts_np = np.asarray(counts)
+            pcm_lanes = []
             if counts_np.max() > self.out_cap:
-                raise RuntimeError("encoded slice exceeded output cap")
+                # reference semantics: version-4 range-coder slices retry
+                # as PCM on buffer overflow (ffv1enc.c:1207-1217); other
+                # versions hard-error ("Buffer too small", :1210-1212)
+                if self.rp.version <= 3:
+                    raise RuntimeError(
+                        "encoded slice exceeded output cap (the "
+                        "reference errors here too: ffv1enc.c:1210)")
+                if self._pending:
+                    raise RuntimeError(
+                        "PCM fallback with frames in flight would "
+                        "corrupt the GOP context chain; use "
+                        "encode_frames() (depth-1) for v4 content "
+                        "that may overflow")
+                pcm_lanes = [int(li) for li in
+                             np.nonzero(counts_np > self.out_cap)[0]]
+                for li in pcm_lanes:
+                    counts_np[li] = 0      # fetched below, then replaced
             cap2 = min(self.out_cap,
                        (int(counts_np.max()) + 511) // 512 * 512)
             self._last_cap = min(self.out_cap, cap2 + 2048)
@@ -693,12 +770,112 @@ class TPUFFV1Encoder:
                                         axis=0)
             payloads = [bytes(out_np[li, :counts_np[li]])
                         for li in range(self.L)]
+            for li in pcm_lanes:
+                bi, si = divmod(li, self.n_slices)
+                payloads[li] = self._encode_slice_pcm(
+                    si, p["streams_np"][bi], keyframe)
+                # a PCM slice header carries slice_reset_contexts=1 and
+                # clears contexts on both sides (ffv1enc.c:1054-1056,
+                # ffv1dec.c:419-420)
+                self.states = self.states.at[li].set(128)
 
         results = []
         for bi in range(self.batch):
             sl = payloads[bi * self.n_slices:(bi + 1) * self.n_slices]
             results.append((self._assemble(sl), keyframe))
         return results
+
+    def _slice_budget(self) -> int:
+        """Per-slice output budget, reference-identical: the packet is
+        allocated at 16384 + w*h*12 bytes for version 4 (ffv1enc.c:
+        1281-1282 with AV_INPUT_BUFFER_MIN_SIZE) and carved evenly
+        across slices (ffv1enc.c:1306-1311)."""
+        rp = self.rp
+        per_px = 12 if rp.version > 3 else 140
+        return (16384 + rp.width * rp.height * per_px) // self.n_slices
+
+    def _row_offsets(self, geom):
+        """(stream_offset, row_width) of every coded line of a slice, in
+        coding order — the points where the reference checks its
+        remaining-buffer budget (encode_line, ffv1enc.c:283-287)."""
+        rp = self.rp
+        out = []
+        pos = 0
+
+        def plane(w, h):
+            nonlocal pos
+            for _ in range(h):
+                out.append((pos, w))
+                pos += w
+
+        plane(geom.width, geom.height)
+        if rp.chroma_planes:
+            cw = ceil_rshift(geom.width, rp.chroma_h_shift)
+            ch = ceil_rshift(geom.height, rp.chroma_v_shift)
+            plane(cw, ch)
+            plane(cw, ch)
+        if rp.transparency:
+            plane(geom.width, geom.height)
+        return out
+
+    def _encode_slice_pcm(self, si: int, planes_np, keyframe: bool) \
+            -> bytes:
+        """Re-encode one slice in PCM mode (slice_coding_mode=1) on the
+        host — the reference's buffer-overflow retry (ffv1enc.c:
+        1207-1217).  Raw samples ride fresh 128-states through the
+        range coder (ffv1enc.c:294-303); adaptive contexts are neither
+        read nor advanced, so the caller must keep the lane's device
+        states at their pre-frame values."""
+        from ..codec.context import alloc_slice_state
+        from ..codec.slice_codec import encode_plane, encode_rgb_frame
+        from ..core.rac import RangeEncoder
+        rp = self.rp
+        geom = self.geoms[si]
+        if rp.ac == T.AC_RANGE_CUSTOM_TAB:
+            slice_tables = custom_state_tables(rp.state_transition)
+        else:
+            slice_tables = default_state_tables()
+        if si == 0:
+            rc = RangeEncoder(*default_state_tables())
+            keystate = np.array([128], dtype=np.uint8)
+            rc.put_rac(keystate, 0, 1 if keyframe else 0)
+            if rp.ac == T.AC_RANGE_CUSTOM_TAB:
+                rc.set_tables(*slice_tables)
+        else:
+            rc = RangeEncoder(*slice_tables)
+        ss = alloc_slice_state(rp, geom)
+        ss.slice_coding_mode = 1
+        write_slice_header(rp, ss, rc)
+
+        coder = (rc, None)
+        x, y, w, h = geom.x, geom.y, geom.width, geom.height
+        bits = self.raw_bits
+        if rp.colorspace == 1:
+            if rp.fmt.interleaved:
+                sp = planes_np[0][y:y + h, x:x + w]
+            else:
+                sp = [p[y:y + h, x:x + w] for p in planes_np]
+            encode_rgb_frame(rp, ss, coder, sp, w, h)
+        else:
+            encode_plane(rp, ss, coder, planes_np[0][y:y + h, x:x + w],
+                         w, h, 0, bits)
+            if rp.chroma_planes:
+                hs, vs = rp.chroma_h_shift, rp.chroma_v_shift
+                cx, cy = x >> hs, y >> vs
+                cw, ch = ceil_rshift(w, hs), ceil_rshift(h, vs)
+                encode_plane(rp, ss, coder,
+                             planes_np[1][cy:cy + ch, cx:cx + cw],
+                             cw, ch, 1, bits)
+                encode_plane(rp, ss, coder,
+                             planes_np[2][cy:cy + ch, cx:cx + cw],
+                             cw, ch, 1, bits)
+            if rp.transparency:
+                encode_plane(rp, ss, coder,
+                             planes_np[-1][y:y + h, x:x + w],
+                             w, h, 2, bits)
+        sentinel = np.array([129], dtype=np.uint8)
+        rc.put_rac(sentinel, 0, 0)
+        return rc.terminate()
 
     def _encode_slow(self, streams, states0, lows, ranges, prefixes,
                      plens):
@@ -714,6 +891,9 @@ class TPUFFV1Encoder:
             ctxs = ctxs.at[si, :n].set(c)
             diffs = diffs.at[si, :n].set(d)
             acts[si, :n] = True
+        keyframe = (self.rp.gop_size == 0 or
+                    self.picture_number % self.rp.gop_size == 0)
+        budget = self._slice_budget()
         payloads = []
         new_states = []
         for si in range(self.L):
@@ -722,6 +902,29 @@ class TPUFFV1Encoder:
                 ctxs[si, :n], diffs[si, :n], jnp.asarray(acts[si, :n]),
                 states0[si], self.one_tab, self.zero_tab,
                 jnp.int32(lows[si]), jnp.int32(ranges[si]), self.bits)
+            # reference overflow semantics: at each line start, remaining
+            # slice-buffer bytes must cover w*35 (ffv1enc.c:283-287) or
+            # the slice retries as PCM (version 4, range coder;
+            # ffv1enc.c:1207-1217).  Positions are tracked in provisional
+            # emissions (equal to flushed bytes up to the outstanding-
+            # byte lag, immaterial at these margins).
+            overflow = False
+            if self.rp.version > 3:
+                per_px = np.asarray(valid).sum(axis=1)
+                cum = np.concatenate([[0], np.cumsum(per_px)])
+                pos0 = int(plens[si])
+                for off, wrow in self._row_offsets(self.geoms[si]):
+                    if budget - (pos0 + int(cum[off])) < wrow * 35:
+                        overflow = True
+                        break
+            if overflow:
+                payloads.append(self._encode_slice_pcm(
+                    si, planes, keyframe))
+                # a PCM slice header carries slice_reset_contexts=1 and
+                # clears the encoder's contexts (ffv1enc.c:1054-1056;
+                # decoder mirror ffv1dec.c:419-420)
+                new_states.append(jnp.full_like(states0[si], 128))
+                continue
             new_states.append(s_out)
             o, cnt = finalize_slice(prov, valid, low, rng,
                                     jnp.asarray(prefixes[si]),
