@@ -104,6 +104,10 @@ class TPUFFV1Decoder:
         self._pending: list = []
         from concurrent.futures import ThreadPoolExecutor
         self._executor = ThreadPoolExecutor(max_workers=1)
+        # result transfers are issued from the worker right after the
+        # scan dispatch (before the next frame's scan enters the device
+        # queue) and resolved at collect time
+        self._xfer_pool = ThreadPoolExecutor(max_workers=4)
 
     # -------------------------------------------------------------- API
 
@@ -270,7 +274,32 @@ class TPUFFV1Decoder:
                         jnp.asarray(lows), jnp.asarray(ranges),
                         jnp.asarray(poss), specs, self.bits, five)
             self.states = states_out
-            return dict(planes_dev=planes_dev, low=low, rng=rng, pos=pos,
+            # device-side postprocess: assemble full frames (inverse
+            # block reshape) and narrow to the wire dtype, so the
+            # transfer is 1-2 bytes/pixel instead of the scan's int32 —
+            # then issue the result fetches NOW, before the next
+            # frame's scan is enqueued (a fetch submitted at collect
+            # time waits behind every queued scan)
+            nh, nv = g.num_h_slices, g.num_v_slices
+            planes_full = []
+            for k, (w, h, _sp) in enumerate(specs):
+                x = planes_dev[k].reshape(self.batch, nv, nh, h, w)
+                x = jnp.transpose(x, (0, 1, 3, 2, 4)) \
+                    .reshape(self.batch, nv * h, nh * w)
+                if self.bits <= 8:
+                    x = (x & 0xFF).astype(jnp.uint8)
+                elif self._packed_at_lsb():
+                    x = x.astype(jnp.uint16)
+                else:
+                    x = ((x << (16 - self.bits)) & 0xFFFF) \
+                        .astype(jnp.uint16)
+                planes_full.append(x)
+            plane_futs = [self._xfer_pool.submit(
+                lambda a=pl: np.asarray(a)) for pl in planes_full]
+            lrp_fut = self._xfer_pool.submit(
+                lambda: (np.asarray(low), np.asarray(rng),
+                         np.asarray(pos)))
+            return dict(plane_futs=plane_futs, lrp_fut=lrp_fut,
                         keyframes=keyframes, parsed=parsed,
                         buflens=buflens, specs=specs)
 
@@ -289,9 +318,7 @@ class TPUFFV1Decoder:
         dt = np.uint8 if self.bits <= 8 else np.uint16
 
         # sentinel + byte-count validation per lane (ffv1dec.c:459-467)
-        low = np.asarray(p["low"])
-        rng = np.asarray(p["rng"])
-        pos = np.asarray(p["pos"])
+        low, rng, pos = p["lrp_fut"].result()
         for bi, (kf, sl) in enumerate(p["parsed"]):
             for si, (buf, *_rest) in enumerate(sl):
                 lane = bi * self.n_slices + si
@@ -309,23 +336,10 @@ class TPUFFV1Decoder:
                 except (ValueError, IndexError):
                     self.slice_damaged[bi, si] = True
 
+        full_planes = [f.result() for f in p["plane_futs"]]
         results = []
         for bi in range(self.batch):
-            planes = []
-            for k, (w, h, _sp) in enumerate(specs):
-                lanes = np.asarray(
-                    p["planes_dev"][k][bi * self.n_slices:
-                                       (bi + 1) * self.n_slices])
-                # inverse block reshape: (nv*nh, h, w) -> (nv*h, nh*w)
-                full = lanes.reshape(nv, nh, h, w).transpose(0, 2, 1, 3) \
-                    .reshape(nv * h, nh * w)
-                if self.bits <= 8:
-                    planes.append((full & 0xFF).astype(dt))
-                elif self._packed_at_lsb():
-                    planes.append(full.astype(dt))
-                else:
-                    planes.append(((full << (16 - self.bits)) & 0xFFFF)
-                                  .astype(dt))
+            planes = [fp[bi] for fp in full_planes]
             # yuv shares the chroma plane spec twice; specs order is the
             # plane order already
             results.append((self._conceal(bi, planes), keyframes[bi]))
@@ -419,8 +433,12 @@ class TPUFFV1Decoder:
                     continue
                 geom = self.geoms[si]
                 hs, vs = g.chroma_h_shift, g.chroma_v_shift
-                for j, (dst, src_p) in enumerate(
-                        zip(planes, self.last_planes[bi])):
+                for j, src_p in enumerate(self.last_planes[bi]):
+                    # fetched planes are read-only views into the
+                    # batched transfer buffer; copy before patching
+                    if not planes[j].flags.writeable:
+                        planes[j] = np.array(planes[j])
+                    dst = planes[j]
                     sh = hs if j in (1, 2) and g.chroma_planes else 0
                     sv = vs if j in (1, 2) and g.chroma_planes else 0
                     ys, xs = geom.y >> sv, geom.x >> sh

@@ -32,6 +32,7 @@ from ..core.rac import (ProvisionalRangeEncoder, custom_state_tables,
                         default_state_tables)
 from ..core.intmath import ceil_rshift
 from ..codec.context import slice_grid
+from ..log import phase_timer
 from ..codec.params import EncoderParams, resolve
 from .residual import (load_plane, quant_spec, rct_transform,
                        residuals_and_contexts)
@@ -142,11 +143,13 @@ class TPUFFV1Encoder:
         from concurrent.futures import ThreadPoolExecutor
         self._executor = ThreadPoolExecutor(max_workers=1)
         self._upload_pool = ThreadPoolExecutor(max_workers=1)
-        # chunked-concurrent transfers: the tunnel to remote backends
-        # multiplexes parallel RPCs (~1.5x measured on 12 MB), so plane
-        # uploads and payload downloads are split into row/lane bands
-        # issued from a small pool
+        # the tunnel to remote backends is effectively half-duplex
+        # (duplex probe: up+down concurrently ~= serial sum), but
+        # uploads and downloads get SEPARATE pools so neither queues
+        # behind the other's pool slots — the tunnel interleaves them
+        # without idle gaps
         self._xfer_pool = ThreadPoolExecutor(max_workers=4)
+        self._upchunk_pool = ThreadPoolExecutor(max_workers=4)
         self._last_cap = 0       # speculative output-fetch width
         # stream length per slice (static per geometry); padded to the
         # scan unroll factor (padding lanes are exact no-ops).
@@ -601,7 +604,7 @@ class TPUFFV1Encoder:
                     bounds = np.linspace(0, flat.shape[0],
                                          nch + 1).astype(int)
                     plane_futs.append([
-                        self._xfer_pool.submit(
+                        self._upchunk_pool.submit(
                             lambda a: jnp.asarray(a).block_until_ready(),
                             flat[a:b])
                         for a, b in zip(bounds[:-1], bounds[1:])])
@@ -614,21 +617,47 @@ class TPUFFV1Encoder:
                 # runs on the single-worker executor: submits are
                 # processed strictly in order, so reading/advancing
                 # self.states here keeps the GOP context chain intact
-                streams = up_fut.result()
+                with phase_timer("tpu-enc", "wait-upload"):
+                    streams = up_fut.result()
                 states0 = jnp.full_like(self.states, 128) if keyframe \
                     else self.states
-                (out, counts, states_out, overflow, packed, low,
-                 rng) = self._frame_fn(
-                    streams, states0, jnp.asarray(lows),
-                    jnp.asarray(ranges), jnp.asarray(prefixes),
-                    jnp.asarray(plens))
+                with phase_timer("tpu-enc", "dispatch"):
+                    (out, counts, states_out, overflow, packed, low,
+                     rng) = self._frame_fn(
+                        streams, states0, jnp.asarray(lows),
+                        jnp.asarray(ranges), jnp.asarray(prefixes),
+                        jnp.asarray(plens))
                 self.states = states_out
+                # issue the result transfers NOW, before the next
+                # frame's scan is enqueued: device ops run in order, so
+                # a fetch submitted at collect time would wait behind
+                # every queued scan (measured: payload fetches ballooned
+                # to ~1.2 s behind two in-flight frames).  Enqueued
+                # here, the DMA lands right after this frame's ops and
+                # overlaps the next scan's compute.
+                spec = min(self._last_cap, self.out_cap)
+                nb = 4
+                bounds = np.linspace(0, self.L, nb + 1).astype(int)
+
+                def fetch(lo, hi, c0, c1):
+                    return np.asarray(out[lo:hi, c0:c1])
+
+                counts_fut = self._xfer_pool.submit(
+                    lambda: np.asarray(counts))
+                spec_futs = None
+                if spec:
+                    spec_futs = [
+                        self._xfer_pool.submit(fetch, a, b, 0, spec)
+                        for a, b in zip(bounds[:-1], bounds[1:])
+                        if a < b]
                 return dict(
                     out=out, counts=counts, overflow=overflow,
                     packed=packed, low=low, rng=rng, keyframe=keyframe,
                     streams=streams, states0=states0, lows=lows,
                     ranges=ranges, prefixes=prefixes, plens=plens,
-                    streams_np=streams_np)
+                    streams_np=streams_np, counts_fut=counts_fut,
+                    spec_futs=spec_futs, spec=spec, bounds=bounds,
+                    fetch=fetch)
 
             self._pending.append(self._executor.submit(work))
             self.picture_number += 1
@@ -667,8 +696,15 @@ class TPUFFV1Encoder:
                 streams, vlc0, jnp.asarray(prefixes),
                 jnp.asarray(plens))
             self.vlc_states = vlc_out
+            # pre-issue result transfers (see the range-coder work())
+            counts_fut = self._xfer_pool.submit(
+                lambda: np.asarray(counts))
+            spec = min(self._last_cap, self.out_cap)
+            spec_fut = (self._xfer_pool.submit(
+                lambda: np.asarray(out[:, :spec])) if spec else None)
             return dict(out=out, counts=counts, keyframe=keyframe,
-                        golomb=True)
+                        golomb=True, counts_fut=counts_fut,
+                        spec_fut=spec_fut, spec=spec)
 
         self._pending.append(self._executor.submit(work))
 
@@ -678,17 +714,24 @@ class TPUFFV1Encoder:
         assert self._pending, "no submit_frames() in flight"
         p = self._pending.pop(0)
         if not isinstance(p, dict):
-            p = p.result()          # worker-thread future (fast path)
+            with phase_timer("tpu-enc", "wait-worker"):
+                p = p.result()      # worker-thread future (fast path)
         keyframe = p["keyframe"]
         if "payloads" in p:
             payloads = p["payloads"]
         elif p.get("golomb"):
-            counts_np = np.asarray(p["counts"])
+            counts_np = np.asarray(p["counts_fut"].result())
             if counts_np.max() > self.out_cap:
                 raise RuntimeError("encoded slice exceeded output cap")
             cap2 = min(self.out_cap,
                        (int(counts_np.max()) + 511) // 512 * 512)
-            out_np = np.asarray(p["out"][:, :cap2])
+            self._last_cap = min(self.out_cap, cap2 + 2048)
+            if p["spec_fut"] is not None and p["spec"] >= cap2:
+                out_np = p["spec_fut"].result()[:, :cap2]
+            else:
+                if p["spec_fut"] is not None:
+                    p["spec_fut"].result()   # drain the partial fetch
+                out_np = np.asarray(p["out"][:, :cap2])
             payloads = [bytes(out_np[li, :counts_np[li]])
                         for li in range(self.L)]
         else:
@@ -713,23 +756,29 @@ class TPUFFV1Encoder:
                         packed, low, rng, jnp.asarray(p["prefixes"]),
                         jnp.asarray(p["plens"]))
                     out = out[:, :self.out_cap]
-            # speculative fetch: start pulling the byte planes at the
-            # previous frame's width while the (tiny) counts transfer
-            # is in flight — frame sizes are stable, so the counts
-            # roundtrip stops serializing the big download
-            spec = min(self._last_cap, self.out_cap)
-            nb = 4
-            bounds = np.linspace(0, self.L, nb + 1).astype(int)
+                # the pre-issued transfers refer to the ORIGINAL out
+                # buffer; invalidate them for the redone frame
+                p["spec_futs"] = None
+                p["spec"] = 0
+                p["counts_fut"] = self._xfer_pool.submit(
+                    lambda c=counts: np.asarray(c))
+                out_redone = out
 
-            def fetch(lo, hi, c0, c1):
-                return np.asarray(out[lo:hi, c0:c1])
+                def fetch_redo(lo, hi, c0, c1):
+                    return np.asarray(out_redone[lo:hi, c0:c1])
 
-            spec_futs = None
-            if spec:
-                spec_futs = [self._xfer_pool.submit(fetch, a, b, 0, spec)
-                             for a, b in zip(bounds[:-1], bounds[1:])
-                             if a < b]
-            counts_np = np.asarray(counts)
+                p["fetch"] = fetch_redo
+            # the counts + speculative payload transfers were issued by
+            # the worker right after dispatch (see submit_frames) so
+            # they precede the next frame's scan in the device queue;
+            # frame sizes are stable across a stream, so the
+            # previous-frame width usually covers the whole payload
+            spec = p["spec"]
+            bounds = p["bounds"]
+            fetch = p["fetch"]
+            spec_futs = p["spec_futs"]
+            with phase_timer("tpu-enc", "counts-fetch"):
+                counts_np = np.array(p["counts_fut"].result())
             pcm_lanes = []
             if counts_np.max() > self.out_cap:
                 # reference semantics: version-4 range-coder slices retry
@@ -752,22 +801,24 @@ class TPUFFV1Encoder:
             cap2 = min(self.out_cap,
                        (int(counts_np.max()) + 511) // 512 * 512)
             self._last_cap = min(self.out_cap, cap2 + 2048)
-            if spec_futs is not None and spec >= cap2:
-                out_np = np.concatenate([f.result() for f in spec_futs],
-                                        axis=0)[:, :cap2]
-            elif spec_futs is not None:
-                tail_futs = [self._xfer_pool.submit(fetch, a, b, spec,
-                                                    cap2)
-                             for a, b in zip(bounds[:-1], bounds[1:])
-                             if a < b]
-                out_np = np.concatenate(
-                    [np.concatenate([h.result(), t.result()], axis=1)
-                     for h, t in zip(spec_futs, tail_futs)], axis=0)
-            else:
-                futs = [self._xfer_pool.submit(fetch, a, b, 0, cap2)
-                        for a, b in zip(bounds[:-1], bounds[1:]) if a < b]
-                out_np = np.concatenate([f.result() for f in futs],
-                                        axis=0)
+            with phase_timer("tpu-enc", "payload-fetch"):
+                if spec_futs is not None and spec >= cap2:
+                    out_np = np.concatenate(
+                        [f.result() for f in spec_futs], axis=0)[:, :cap2]
+                elif spec_futs is not None:
+                    tail_futs = [self._xfer_pool.submit(fetch, a, b, spec,
+                                                        cap2)
+                                 for a, b in zip(bounds[:-1], bounds[1:])
+                                 if a < b]
+                    out_np = np.concatenate(
+                        [np.concatenate([h.result(), t.result()], axis=1)
+                         for h, t in zip(spec_futs, tail_futs)], axis=0)
+                else:
+                    futs = [self._xfer_pool.submit(fetch, a, b, 0, cap2)
+                            for a, b in zip(bounds[:-1], bounds[1:])
+                            if a < b]
+                    out_np = np.concatenate([f.result() for f in futs],
+                                            axis=0)
             payloads = [bytes(out_np[li, :counts_np[li]])
                         for li in range(self.L)]
             for li in pcm_lanes:
