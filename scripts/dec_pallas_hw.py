@@ -13,13 +13,27 @@ from tpu_ffv1.codec.encoder import FFV1Encoder
 from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
 
 
-def run_case(W, H, pix_fmt, slices, gop, batch, nframes=4, seed=7):
+def run_case(W, H, pix_fmt, slices, gop, batch, nframes=4, seed=7,
+             spikes=False):
     rng = np.random.RandomState(seed)
     from tpu_ffv1.io.rawvideo import frame_shape
     frames = []
     for t in range(nframes):
-        planes = [rng.randint(0, 256, s).astype(dt)
-                  for s, dt in frame_shape(pix_fmt, W, H)]
+        if spikes:
+            # adversarial burst content for the paced byte feed: long
+            # flat runs skew the zero/exponent states, then isolated
+            # full-amplitude pixels cost many renorm bytes at once
+            planes = []
+            for s, dt in frame_shape(pix_fmt, W, H):
+                mx = np.iinfo(dt).max if dt == np.uint8 else 1023
+                p = np.zeros(s, dt)
+                n = max(1, int(np.prod(s)) // 17)
+                idx = rng.choice(int(np.prod(s)), n, replace=False)
+                p.reshape(-1)[idx] = mx
+                planes.append(p)
+        else:
+            planes = [rng.randint(0, 256, s).astype(dt)
+                      for s, dt in frame_shape(pix_fmt, W, H)]
         frames.append(planes)
     enc = FFV1Encoder(EncoderParams(width=W, height=H, pix_fmt=pix_fmt,
                                     level=3, coder=2, slices=slices,
@@ -49,6 +63,8 @@ def main():
     ok &= run_case(24, 16, "yuv420p", 4, 2, 2, nframes=4)
     ok &= run_case(48, 32, "yuv422p", 4, 3, 1, nframes=3)
     ok &= run_case(64, 48, "yuv420p10le", 4, 2, 1, nframes=2)
+    ok &= run_case(64, 48, "yuv420p10le", 4, 0, 1, nframes=2,
+                   spikes=True)
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 

@@ -15,12 +15,14 @@ Key structures (per-lane, resident across the plane):
     drive the per-lane dynamic slices — scalar VMEM reads of computed
     vectors work on v5e Mosaic (probed); scalar VMEM stores do not, so
     scalar->vector assembly uses (iota == lane) accumulation.
-  * byte FIFO: a 32-deep CIRCULAR window (32, L) of the range-coder
-    byte stream, indexed by absolute position & 31.  A global
-    low-water guard (pl.when on a computed min, via SMEM) refills
-    deficient lanes with whole int32 words — amortized ~0.25 scalar
-    word reads per lane per pixel.  In-window reads are arithmetic
-    one-hots.
+  * byte FIFO: a 32-row WORD window (32, L) int32 = 128 bytes of
+    lookahead per lane, insert row (fill >> 2) & 31.  The per-lane
+    scalar sweep that fetches stream words is the kernel's main O(L)
+    cost, so feeding is PACED: one unconditional word round every
+    other pixel (2 B/px vs ~1.3 B/px typical consumption) plus a rare
+    catch-up burst behind a 48-byte low-water check (> 2 pixels'
+    worst case of 2*e_max+3 <= 21 renorm bytes each at 10 bits).  In-window byte reads are a word-row one-hot
+    reduction + per-lane subword shift.
   * reconstruction row: ONE (Wpad+8, L) int32 buffer — the previous
     row is read per 8-pixel group BEFORE the current row overwrites it
     (3-input context model only; the 5-input model needs the TT row
@@ -93,25 +95,33 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
         return jnp.where(b == 1, t, (256 - t) & 0xFF)
 
     def feed_words(nrounds, p):
-        """Insert one buffer word per round into each deficient lane's
-        circular window (fill - pos < 24 keeps fill <= 28 < 32).
+        """Insert one buffer word per round into each lane's WORD
+        window — (32, L) int32 rows = 128 bytes of lookahead, row
+        (fill >> 2) & 31.  The per-lane scalar sweep is the kernel's
+        main O(L) cost, so the schedule is:
 
-        ``p`` must be the CURRENT read position (the loop-carried value,
-        not the poss scratch, which is only synced at row end)."""
+          * an UNCONDITIONAL 1-word round every other pixel (2 B/px of
+            feed vs ~1.3 B/px typical consumption keeps lanes near the
+            cap), and
+          * a rare catch-up burst (12 rounds) behind a 48-byte
+            low-water check every other pixel (> 2 x the worst-case
+            pixel of 2*e_max+3 <= 21 renorm bytes at 10 bits), for
+            lanes whose burst consumption outruns the paced feed.
+
+        ``p`` must be the CURRENT read position (the loop-carried
+        value, not the poss scratch, which is only synced at row end).
+        The capacity guard (fill - pos <= 124) keeps the insert row
+        strictly ahead of the read row."""
         for _ in range(nrounds):
             fp = fills[pl.ds(0, 1), :]
-            do = (fp - p) < 24
+            do = (fp - p) <= 124
             w_acc = jnp.zeros((1, L), jnp.int32)
             for lane in range(L):
                 wi = fills[0, lane] >> 2
                 wv = bufs_ref[jnp.minimum(wi, capw - 1), lane]
                 w_acc = w_acc + wv * (lane_iota == lane)
-            new_win = win[...]
-            for k in range(4):
-                b = (w_acc >> (8 * k)) & 0xFF
-                m = do & (iota32s == ((fp + k) & 31))
-                new_win = jnp.where(m, b, new_win)
-            win[...] = new_win
+            m = do & (iota32s == ((fp >> 2) & 31))
+            win[...] = jnp.where(m, w_acc, win[...])
             fills[pl.ds(0, 1), :] = jnp.where(do, fp + 4, fp)
 
     @pl.when(y == 0)
@@ -122,7 +132,7 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
         poss[...] = pos0_ref[...]
         fills[pl.ds(0, 1), :] = pos0_ref[...] & ~3
         win[...] = jnp.zeros((32, L), jnp.int32)
-        feed_words(8, pos0_ref[...])
+        feed_words(24, pos0_ref[...])
         plft_ref[...] = jnp.zeros((1, L), jnp.int32)
         rowbuf[...] = jnp.zeros((Wpad + 16, L), jnp.int32)
 
@@ -147,13 +157,17 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
         decoded = []
 
         for px in range(8):
-            # top-up the byte window when any lane is low (covers the
-            # max 2 + 2*e_max + 1 refills one pixel can consume)
-            minf[0, 0] = jnp.min(fills[pl.ds(0, 1), :] - pos)
+            # paced feed + rare catch-up, both every other pixel (see
+            # feed_words): the unconditional round keeps lanes near the
+            # 128-byte cap; the 48-byte low-water burst catches
+            # consumption spikes (worst pixel = 2*e_max+3 renorm bytes)
+            if px % 2 == 0:
+                feed_words(1, pos)
+                minf[0, 0] = jnp.min(fills[pl.ds(0, 1), :] - pos)
 
-            @pl.when(minf[0, 0] < 20)
-            def _():
-                feed_words(5, pos)
+                @pl.when(minf[0, 0] < 48)
+                def _():
+                    feed_words(12, pos)
 
             T = prev16[px:px + 1, :]
             RT = prev16[px + 1:px + 2, :]
@@ -194,40 +208,43 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
                 & 0xFF                                    # (32, L)
 
             def win_byte(p):
-                d = iota32s - (p & 31)
-                return jnp.sum(win[...] * jnp.maximum(0, 1 - d * d),
+                d = iota32s - ((p >> 2) & 31)
+                word = jnp.sum(win[...] * jnp.maximum(0, 1 - d * d),
                                axis=0, keepdims=True)
+                return (word >> ((p & 3) * 8)) & 0xFF
 
             def rac(s, low, rng, pos, act):
+                # NOTE: no state transition here — the decision chain is
+                # the kernel's serial critical path, and state indices
+                # touched within one pixel are pairwise distinct (same
+                # property the encode kernel uses), so all transitions
+                # are deferred and batched after the chain
                 r1 = (rng * s) >> 8
                 r0 = rng - r1
                 bit = low >= r0
-                nlow = jnp.where(bit, low - r0, low)
-                nrng = jnp.where(bit, r1, r0)
-                ns = transition(s, bit.astype(jnp.int32))
-                low = jnp.where(act, nlow, low)
-                rng = jnp.where(act, nrng, rng)
+                low = jnp.where(act, jnp.where(bit, low - r0, low), low)
+                rng = jnp.where(act, jnp.where(bit, r1, r0), rng)
                 need = act & (rng < 0x100)
                 nxt = win_byte(pos)
                 low = jnp.where(need, (low << 8) + nxt, low)
                 rng = jnp.where(need, rng << 8, rng)
                 pos = pos + need.astype(jnp.int32)
-                return bit & act, ns, low, rng, pos
+                return bit & act, low, rng, pos
 
             ones = jnp.broadcast_to(act_px, (1, L))
-            news = {}           # static row -> (mask, value)
-            dyn_updates = []    # (rowidx (1,L), mask (1,L), value (1,L))
+            stat_steps = {}     # static row -> (mask, s, bit)
+            dyn_steps = []      # (rowsel (32,L), mask, s, bit)
 
             s = rowsT[0:1, :]
-            b0, ns, low, rng, pos = rac(s, low, rng, pos, ones)
-            news[0] = (ones, ns)
+            b0, low, rng, pos = rac(s, low, rng, pos, ones)
+            stat_steps[0] = (ones, s, b0.astype(jnp.int32))
             nz = ~b0 & ones
             e = jnp.zeros((1, L), jnp.int32)
             done = ~nz
             for j in range(e_max + 1):
                 s = rowsT[1 + j:2 + j, :]
-                bit, ns, low, rng, pos = rac(s, low, rng, pos, ~done)
-                news[1 + j] = (~done, ns)
+                bit, low, rng, pos = rac(s, low, rng, pos, ~done)
+                stat_steps[1 + j] = (~done, s, bit.astype(jnp.int32))
                 e = e + (bit & ~done).astype(jnp.int32)
                 done = done | ~bit
             aval = jnp.ones((1, L), jnp.int32)
@@ -236,19 +253,22 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
                 ridx = 22 + jnp.clip(e - 1 - j, 0, 9)
                 msel = posT_eq(ridx)
                 s = jnp.sum(rowsT * msel, axis=0, keepdims=True)
-                bit, ns, low, rng, pos = rac(s, low, rng, pos, actj)
-                dyn_updates.append((msel, actj, ns))
+                bit, low, rng, pos = rac(s, low, rng, pos, actj)
+                dyn_steps.append((msel, actj, s, bit.astype(jnp.int32)))
                 aval = jnp.where(actj, aval + aval + bit.astype(jnp.int32),
                                  aval)
             ridx = 11 + jnp.minimum(e, 10)
             msel = posT_eq(ridx)
             s = jnp.sum(rowsT * msel, axis=0, keepdims=True)
-            sbit, ns, low, rng, pos = rac(s, low, rng, pos, nz)
-            dyn_updates.append((msel, nz, ns))
+            sbit, low, rng, pos = rac(s, low, rng, pos, nz)
+            dyn_steps.append((msel, nz, s, sbit.astype(jnp.int32)))
 
-            # ---- write-back ----
+            # ---- deferred transitions + write-back ----
+            news = {p: (m, transition(s_, b_))
+                    for p, (m, s_, b_) in stat_steps.items()}
             base_rows = rowsT
-            for msel, actj, ns in dyn_updates:
+            for msel, actj, s_, b_ in dyn_steps:
+                ns = transition(s_, b_)
                 base_rows = jnp.where(msel & actj, ns, base_rows)
             rows_new = []
             for p in range(32):
@@ -335,7 +355,7 @@ def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2,
             pltpu.VMEM((1, L), jnp.int32),           # low
             pltpu.VMEM((1, L), jnp.int32),           # range
             pltpu.VMEM((1, L), jnp.int32),           # pos
-            pltpu.VMEM((32, L), jnp.int32),          # byte window
+            pltpu.VMEM((32, L), jnp.int32),          # word window
             pltpu.VMEM((1, L), jnp.int32),           # window fill pos
             pltpu.VMEM((1, L), jnp.int32),           # prev-prev left
             pltpu.VMEM((1, L), jnp.int32),           # ctx scalarizer
