@@ -103,3 +103,50 @@ def test_two_pass_exact_vs_reference(tmp_path):
     for fi, f in enumerate(frames):
         pkt, _ = p2.encode_frame(f)
         assert pkt == ref2.packets[fi], f"pass-2 frame {fi} differs"
+
+
+def test_cli_two_pass_matches_reference(tmp_path):
+    """CLI -pass 1/2 -passlogfile: stats file and pass-2 packets must be
+    byte-identical to the reference binary's two-pass run."""
+    import os
+    import subprocess
+    import sys
+    from tests.util import REF_FFMPEG, have_reference
+    from tpu_ffv1.io.avi import read_avi
+    from tpu_ffv1.io.rawvideo import write_frames
+
+    if not have_reference():
+        pytest.skip("reference binary not built")
+    td = str(tmp_path)
+    frames = _frames()
+    raw = os.path.join(td, "in.yuv")
+    write_frames(raw, frames)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    rlog = os.path.join(td, "ref")
+    base_ref = [REF_FFMPEG, "-hide_banner", "-loglevel", "error",
+                "-f", "rawvideo", "-pix_fmt", "yuv420p", "-s", "64x48",
+                "-i", raw, "-c:v", "ffv1", "-level", "3", "-coder", "2",
+                "-slices", "4", "-passlogfile", rlog]
+    subprocess.run(base_ref + ["-pass", "1", "-y",
+                               os.path.join(td, "r1.avi")], check=True)
+    subprocess.run(base_ref + ["-pass", "2", "-y",
+                               os.path.join(td, "r2.avi")], check=True)
+
+    mlog = os.path.join(td, "mine")
+    base = [sys.executable, "-m", "tpu_ffv1", "-f", "rawvideo",
+            "-pix_fmt", "yuv420p", "-s", "64x48", "-i", raw,
+            "-level", "3", "-coder", "2", "-slices", "4",
+            "-passlogfile", mlog]
+    r = subprocess.run(base + ["-pass", "1", os.path.join(td, "m1.avi")],
+                       capture_output=True, text=True, cwd=repo)
+    assert r.returncode == 0, r.stderr
+    stats_equal = (open(mlog + "-0.log").read() ==
+                   open(rlog + "-0.log").read())
+    assert stats_equal, "pass-1 stats files differ"
+    r = subprocess.run(base + ["-pass", "2", os.path.join(td, "m2.avi")],
+                       capture_output=True, text=True, cwd=repo)
+    assert r.returncode == 0, r.stderr
+    a = read_avi(os.path.join(td, "m2.avi"))
+    b = read_avi(os.path.join(td, "r2.avi"))
+    assert [bytes(p) for p in a.packets] == [bytes(p) for p in b.packets]

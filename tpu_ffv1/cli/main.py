@@ -47,6 +47,13 @@ def build_parser():
     p.add_argument("-g", dest="gop", type=int, default=12)
     p.add_argument("-strict", type=int, default=0)
     p.add_argument("-frames:v", dest="frames", type=int, default=None)
+    p.add_argument("-pass", dest="rc_pass", type=int, default=0,
+                   choices=[0, 1, 2],
+                   help="two-pass mode (1 = gather stats, 2 = encode "
+                        "with tuned initial states; ffv1enc.c:898-986)")
+    p.add_argument("-passlogfile", default="ffv1_2pass",
+                   help="stats file prefix (reference-compatible text; "
+                        "'-0.log' is appended like ffmpeg)")
     p.add_argument("-engine", default="auto",
                    choices=["auto", "spec", "native", "tpu"])
     p.add_argument("-benchmark", action="store_true")
@@ -163,12 +170,23 @@ def run(argv=None):
             from ..swscale import convert
             frames = [convert(f, in_fmt, args.pix_fmt, w, h)
                       for f in frames]
+        stats_in = None
+        if args.rc_pass == 2:
+            logf = args.passlogfile + "-0.log"
+            if not os.path.exists(logf):
+                sys.exit(f"error: pass-2 needs stats at {logf} "
+                         "(run -pass 1 first)")
+            stats_in = open(logf).read()
         params = EncoderParams(
             width=w, height=h, pix_fmt=args.pix_fmt, level=args.level,
             coder=args.coder, context_model=args.context,
             slices=args.slices, slicecrc=args.slicecrc, gop_size=args.gop,
-            strict=args.strict)
+            strict=args.strict, pass1=args.rc_pass == 1,
+            stats_in=stats_in)
         if args.engine == "tpu":
+            if args.rc_pass == 1:
+                sys.exit("error: -pass 1 gathers per-context statistics "
+                         "on the host engines (use -engine native)")
             from ..tpu.encoder import TPUFFV1Encoder
             enc = TPUFFV1Encoder(params)
         else:
@@ -180,6 +198,9 @@ def run(argv=None):
             pkts.append(pkt)
             keys.append(key)
             npix += w * h
+        if args.rc_pass == 1:
+            with open(args.passlogfile + "-0.log", "w") as lf:
+                lf.write(enc.get_stats())
         if _is_mkv(args.output):
             from ..io import mkv as mkv_io
             mkv_io.write_mkv(args.output, mkv_io.MkvStream(
