@@ -103,6 +103,19 @@ class FFV1Decoder:
         self.intra = g.intra
         self._init_slices()
         self._resolve_pix_fmt()
+        from ..log import INFO, debug_enabled, log
+        if debug_enabled("pict"):
+            # FF_DEBUG_PICT_INFO global-header dump (ffv1dec.c:620-634)
+            log(INFO, "ffv1-dec",
+                f"global: ver:{self.version}.{self.micro_version}, "
+                f"coder:{self.ac}, colorspace: {self.colorspace} "
+                f"bpr:{self.bits_per_raw_sample} "
+                f"chroma:{int(self.chroma_planes)}"
+                f"({self.chroma_h_shift}:{self.chroma_v_shift}), "
+                f"alpha:{int(self.transparency)} "
+                f"slices:{self.num_h_slices}x{self.num_v_slices} "
+                f"qtabs:{self.quant_table_count} ec:{self.ec} "
+                f"intra:{self.intra} -> {self.pix_fmt}")
 
     def _resolve_pix_fmt(self):
         self.pix_fmt = reconstruct_pix_fmt(
@@ -359,6 +372,12 @@ class FFV1Decoder:
         rc = RangeDecoder(pkt, *default_state_tables())
         keystate = np.array([128], dtype=np.uint8)
         keyframe = bool(rc.get_rac(keystate, 0))
+        from ..log import INFO, debug_enabled, log
+        if debug_enabled("pict"):
+            # per-frame FF_DEBUG_PICT_INFO line (ffv1dec.c:942-944)
+            log(INFO, "ffv1-dec",
+                f"frame {self.picture_number}: keyframe:{int(keyframe)} "
+                f"coder:{self.ac} bytes:{len(pkt)}")
 
         if keyframe:
             self.key_frame_ok = False
