@@ -121,20 +121,27 @@ def bench_tpu_decode(frames, budget_s=600.0):
         slices=24))
     pkts = [enc.encode_frame(f)[0] for f in frames]
     dec = TPUFFV1Decoder(1920, 1080, enc.extradata, batch=batch)
+
+    def step_pkts(k):
+        # distinct streams per lane (offset frame sequences), matching
+        # the encode bench — homogeneous lanes would flatter the
+        # lane-major design (no straggler lanes)
+        return [pkts[(i + k) % len(pkts)] for i in range(batch)]
+
     t0 = time.time()
-    dec.decode_frames([pkts[0]] * batch)
+    dec.decode_frames(step_pkts(0))
     log(f"decode first step (compile): {time.time() - t0:.1f}s")
     n_steps = max(len(pkts), 6)
     depth = int(os.environ.get("FFV1_BENCH_DEPTH", "2"))
     t0 = time.time()
     n = 0
     for d in range(depth):
-        dec.submit_frames([pkts[(1 + d) % len(pkts)]] * batch)
+        dec.submit_frames(step_pkts(1 + d))
     for k in range(depth + 1, n_steps + depth + 1):
         dec.collect_frames()
         n += 1
         if k < n_steps + 1:
-            dec.submit_frames([pkts[k % len(pkts)]] * batch)
+            dec.submit_frames(step_pkts(k))
         if time.time() - t0 > budget_s and not dec._pending:
             break
     dt = (time.time() - t0) / max(n, 1)

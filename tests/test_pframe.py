@@ -132,10 +132,11 @@ def test_pframe_format_golden():
     got = digest.hexdigest()
     import os
     golden_path = os.path.join(os.path.dirname(__file__), "..", "goldens",
-                               "pframe_v2.sha256")
-    if os.path.exists(golden_path):
-        want = open(golden_path).read().strip()
-        assert got == want, f"P-frame format drifted: {got} != {want}"
-    else:  # first run mints the golden
+                               "pframe_v3.sha256")
+    if os.environ.get("FFV1_UPDATE_GOLDENS") == "1":
+        # explicit regeneration only (a silent self-minting branch
+        # would let a drifted format re-bless itself)
         with open(golden_path, "w") as fh:
             fh.write(got + "\n")
+    want = open(golden_path).read().strip()
+    assert got == want, f"P-frame format drifted: {got} != {want}"

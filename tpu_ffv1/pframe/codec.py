@@ -250,7 +250,13 @@ class FFV1PEncoder:
         write_slice_header(rp, ps.ss, rc)
         for by in range(bh):
             for bx in range(bw):
-                rc.put_rac(ps.flag_state, 0, 0 if intra[by, bx] else 1)
+                # inter flag as a put_symbol on its own context row (not
+                # a bare put_rac): makes the whole post-header payload
+                # one uniform put_symbol stream, so the lane-major
+                # device scan can code the MV section and the residual
+                # planes in a single pass (pframe/tpu.py)
+                put_symbol(rc, ps.flag_state,
+                           0 if intra[by, bx] else 1, True)
                 if not intra[by, bx]:
                     put_symbol(rc, ps.mv_states[0],
                                int(mvs[by, bx, 0] - ps.prev_mvs[by, bx, 0]),
@@ -415,7 +421,7 @@ class FFV1PDecoder:
         intra = np.zeros((bh, bw), bool)
         for by in range(bh):
             for bx in range(bw):
-                inter = src.get_rac(ps.flag_state, 0)
+                inter = get_symbol(src, ps.flag_state, True)
                 if inter:
                     mvs[by, bx, 0] = ps.prev_mvs[by, bx, 0] + \
                         get_symbol(src, ps.mv_states[0], True)

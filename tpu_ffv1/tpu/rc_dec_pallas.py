@@ -190,9 +190,11 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
             row_list = []
             blocks = []
             subs = []
+            bases = []
             for lane in range(L):
                 ci = ctxv[0, lane]
                 base = pl.multiple_of((ci >> 3) * 8, 8)
+                bases.append(base)
                 block = states[lane, pl.ds(base, 8), :]
                 sub = ci & 7
                 rowfull = jnp.sum(jnp.where(iota8 == sub, block, 0),
@@ -288,8 +290,7 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
                 new_rows8 = jnp.concatenate(
                     [new_rows8, jnp.zeros((8 - L % 8, 32), jnp.int8)], 0)
             for lane in range(L):
-                ci = ctxv[0, lane]
-                base = pl.multiple_of((ci >> 3) * 8, 8)
+                base = bases[lane]  # reuse the read loop's scalar fetch
                 b8 = (lane // 8) * 8
                 nr = jnp.sum(jnp.where(iota8 == (lane % 8),
                                        new_rows8[b8:b8 + 8, :], 0),

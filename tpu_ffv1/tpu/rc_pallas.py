@@ -122,9 +122,11 @@ def _kernel(bits, L, CC, CH, S, order, compact,
         row_list = []
         blocks = []
         subs = []
+        bases = []
         for lane in range(L):
             ci = ctx_ref[i, lane]
             base = pl.multiple_of((ci >> 3) * 8, 8)
+            bases.append(base)
             block = states[lane, pl.ds(base, 8), :]       # (8, 128) int8
             sub = ci & 7
             rowfull = jnp.sum(jnp.where(iota8 == sub, block, 0), axis=0,
@@ -192,8 +194,7 @@ def _kernel(bits, L, CC, CH, S, order, compact,
             new_rows8 = jnp.concatenate(
                 [new_rows8, jnp.zeros((8 - L % 8, 32), jnp.int8)], axis=0)
         for lane in range(L):
-            ci = ctx_ref[i, lane]
-            base_r = pl.multiple_of((ci >> 3) * 8, 8)
+            base_r = bases[lane]   # reuse the read loop's scalar fetch
             # lane's row from new_rows: 8-aligned STATIC slice (vreg
             # pick, free) + constant-mask sublane select — row-offset
             # (non-aligned) slices trip Mosaic layout inference, and a
