@@ -75,23 +75,28 @@ def bench_tpu(frames, budget_s=900.0):
     # two transfer directions while the device computes
     depth = int(os.environ.get("FFV1_BENCH_DEPTH", "2"))
     t0 = time.time()
-    n = 0
+    steps = []
     n_steps = max(len(frames), 10)
     for d in range(depth):
         enc.submit_frames([frames[(1 + d) % len(frames)]
                            for i in range(batch)])
     for k in range(depth + 1, n_steps + depth + 1):
         enc.collect_frames()
-        n += 1
+        steps.append(time.time() - t0)
+        t0 = time.time()
         if k < n_steps + 1:
             enc.submit_frames([frames[(i + k) % len(frames)]
                                for i in range(batch)])
-        if time.time() - t0 > budget_s and not enc._pending:
+        if sum(steps) > budget_s and not enc._pending:
             break
-    dt = (time.time() - t0) / max(n, 1)
-    mpix = batch * 1920 * 1080 / dt / 1e6
-    log(f"tpu steady: {dt * 1000:.0f} ms/step ({batch} frames/step)")
-    return mpix
+    step_ms = sorted(s * 1000 for s in steps)
+    med = step_ms[len(step_ms) // 2]
+    mpix = batch * 1920 * 1080 / (med / 1000) / 1e6
+    log(f"tpu steady: median {med:.0f} ms/step, min {step_ms[0]:.0f}, "
+        f"max {step_ms[-1]:.0f} ({batch} frames/step)")
+    return mpix, dict(median_ms=round(med, 1), min_ms=round(step_ms[0], 1),
+                      max_ms=round(step_ms[-1], 1), n_steps=len(step_ms),
+                      frames_per_step=batch)
 
 
 def bench_host(frames):
@@ -116,17 +121,25 @@ def bench_tpu_decode(frames, budget_s=600.0):
     from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
 
     batch = int(os.environ.get("FFV1_BENCH_BATCH", "4"))
-    enc = FFV1Encoder(EncoderParams(
-        width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
-        slices=24))
-    pkts = [enc.encode_frame(f)[0] for f in frames]
-    dec = TPUFFV1Decoder(1920, 1080, enc.extradata, batch=batch)
+
+    def mk_enc():
+        return FFV1Encoder(EncoderParams(
+            width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
+            slices=24))
+
+    # distinct streams per decode lane group (each an independent GOP
+    # sequence, decoded in order) — replicating one packet across the
+    # batch would flatter the lane-major design (no straggler lanes)
+    streams = []
+    for bi in range(batch):
+        senc = mk_enc()
+        sframes = synth_1080p(seed=bi)
+        streams.append([senc.encode_frame(f)[0] for f in sframes])
+    dec = TPUFFV1Decoder(1920, 1080, mk_enc().extradata, batch=batch)
+    nf = len(streams[0])
 
     def step_pkts(k):
-        # distinct streams per lane (offset frame sequences), matching
-        # the encode bench — homogeneous lanes would flatter the
-        # lane-major design (no straggler lanes)
-        return [pkts[(i + k) % len(pkts)] for i in range(batch)]
+        return [streams[i][k % nf] for i in range(batch)]
 
     t0 = time.time()
     dec.decode_frames(step_pkts(0))
@@ -137,17 +150,68 @@ def bench_tpu_decode(frames, budget_s=600.0):
     n = 0
     for d in range(depth):
         dec.submit_frames(step_pkts(1 + d))
+    steps = []
     for k in range(depth + 1, n_steps + depth + 1):
         dec.collect_frames()
+        steps.append(time.time() - t0)
+        t0 = time.time()
         n += 1
         if k < n_steps + 1:
             dec.submit_frames(step_pkts(k))
-        if time.time() - t0 > budget_s and not dec._pending:
+        if sum(steps) > budget_s and not dec._pending:
             break
-    dt = (time.time() - t0) / max(n, 1)
-    log(f"tpu decode steady: {dt * 1000:.0f} ms/step "
+    step_ms = sorted(s * 1000 for s in steps)
+    med = step_ms[len(step_ms) // 2]
+    log(f"tpu decode steady: median {med:.0f} ms/step "
         f"({batch} frames/step)")
-    return batch * 1920 * 1080 / dt / 1e6
+    return batch * 1920 * 1080 / (med / 1000) / 1e6, dict(
+        median_ms=round(med, 1), min_ms=round(step_ms[0], 1),
+        max_ms=round(step_ms[-1], 1), n_steps=len(step_ms))
+
+
+def bench_pframe_720p(budget_s=600.0):
+    """BASELINE config 4: 720p P-frame encode on the device pipeline
+    (motion search + OBMC + residual + MV section all on device,
+    pframe/tpu.py)."""
+    from tpu_ffv1.codec.params import EncoderParams
+    from tpu_ffv1.pframe.tpu import TPUFFV1PEncoder
+
+    W, H = 1280, 720
+    batch = int(os.environ.get("FFV1_BENCH_BATCH", "4"))
+    rng = np.random.RandomState(1)
+    base = (np.add.outer(np.arange(H + 64), np.arange(W + 64)) % 256)
+    frames = []
+    for t in range(4):
+        y = (base[2 * t:2 * t + H, 3 * t:3 * t + W] +
+             rng.randint(0, 8, (H, W))).astype(np.uint8)
+        u = (rng.randint(0, 8, (H // 2, W // 2)) + 100).astype(np.uint8)
+        v = (rng.randint(0, 8, (H // 2, W // 2)) + 160).astype(np.uint8)
+        frames.append([y, u, v])
+    enc = TPUFFV1PEncoder(EncoderParams(
+        width=W, height=H, pix_fmt="yuv420p", level=3, coder=2,
+        slices=12, gop_size=12), batch=batch, experimental=True)
+    t0 = time.time()
+    enc.encode_frames([frames[0]] * batch)     # keyframe (intra path)
+    enc.encode_frames([frames[1]] * batch)     # P compile
+    log(f"pframe first steps (compile): {time.time() - t0:.1f}s")
+    steps = []
+    n_steps = 8
+    t0 = time.time()
+    enc.submit_frames([frames[2] for _ in range(batch)])
+    for k in range(3, n_steps + 3):
+        enc.submit_frames([frames[k % 4 if k % 4 else 1]
+                           for _ in range(batch)])
+        enc.collect_frames()
+        steps.append(time.time() - t0)
+        t0 = time.time()
+        if sum(steps) > budget_s:
+            break
+    enc.collect_frames()
+    step_ms = sorted(s * 1000 for s in steps)
+    med = step_ms[len(step_ms) // 2]
+    log(f"pframe 720p steady: median {med:.0f} ms/step")
+    return batch * W * H / (med / 1000) / 1e6, dict(
+        median_ms=round(med, 1), n_steps=len(step_ms))
 
 
 def bench_host_decode(frames):
@@ -234,6 +298,7 @@ def main():
     if "--check" in sys.argv:
         sys.exit(check_hw_parity())
     frames = synth_1080p()
+    host = hostd = None
     try:
         host = bench_host(frames)
         log(f"host native engine: {host:.2f} Mpixel/s")
@@ -244,31 +309,50 @@ def main():
         log(f"host native decode: {hostd:.2f} Mpixel/s")
     except Exception as e:
         log(f"host decode bench failed: {e}")
-    mpix = None
+    mpix = enc_stats = None
     for attempt in range(2):
         try:
-            mpix = bench_tpu(frames)
+            mpix, enc_stats = bench_tpu(frames)
             break
         except Exception as e:
             log(f"tpu bench attempt {attempt} failed ({e})")
     if mpix is None:
         log("tpu unavailable; reporting host path")
         mpix = bench_host(frames)
-    dec_mpix = None
+    dec_mpix = dec_stats = None
     if os.environ.get("FFV1_BENCH_SKIP_DECODE", "0") not in ("1", "true"):
         try:
-            dec_mpix = bench_tpu_decode(frames)
+            dec_mpix, dec_stats = bench_tpu_decode(frames)
             log(f"tpu decode: {dec_mpix:.2f} Mpixel/s")
         except Exception as e:
             log(f"tpu decode bench failed ({e})")
+    p_mpix = p_stats = None
+    if os.environ.get("FFV1_BENCH_SKIP_PFRAME", "0") not in ("1", "true"):
+        try:
+            p_mpix, p_stats = bench_pframe_720p()
+            log(f"tpu pframe 720p: {p_mpix:.2f} Mpixel/s")
+        except Exception as e:
+            log(f"pframe bench failed ({e})")
     out = {
         "metric": "ffv1_encode_1080p_mpix_s",
         "value": round(mpix, 3),
         "unit": "Mpixel/s",
         "vs_baseline": round(mpix / BASELINE_MPIX_S, 4),
+        # same-run comparisons + step statistics so the headline is
+        # traceable inside THIS artifact (medians over distinct steady
+        # steps; encode lanes = 4 streams x 24 slices)
+        "encode_steps": enc_stats,
     }
+    if host is not None:
+        out["host_c_encode_mpix_s"] = round(host, 3)
+    if hostd is not None:
+        out["host_c_decode_mpix_s"] = round(hostd, 3)
     if dec_mpix is not None:
         out["decode_mpix_s"] = round(dec_mpix, 3)
+        out["decode_steps"] = dec_stats
+    if p_mpix is not None:
+        out["pframe_720p_mpix_s"] = round(p_mpix, 3)
+        out["pframe_steps"] = p_stats
     print(json.dumps(out))
 
 

@@ -110,25 +110,30 @@ def enc_stage(batch, steady=True):
 def dec_stage(batch):
     from tpu_ffv1.codec.encoder import FFV1Encoder
     from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
-    frames = synth()
-    henc = FFV1Encoder(EncoderParams(
-        width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
-        slices=24))
-    pkts = [henc.encode_frame(f)[0] for f in frames]
+    streams = []
+    for bi in range(batch):
+        henc = FFV1Encoder(EncoderParams(
+            width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
+            slices=24))
+        streams.append([henc.encode_frame(f)[0] for f in synth(seed=bi)])
     dec = TPUFFV1Decoder(1920, 1080, henc.extradata, batch=batch)
+
+    def step_pkts(k):
+        return [streams[i][k % 4] for i in range(batch)]
+
     t0 = time.time()
-    dec.decode_frames([pkts[i % 4] for i in range(batch)])
+    dec.decode_frames(step_pkts(0))
     log(f"dec batch={batch} first step (compile): {time.time()-t0:.1f}s")
     t0 = time.time()
     n_steps = 6
     for d in range(2):
-        dec.submit_frames([pkts[(1 + d + i) % 4] for i in range(batch)])
+        dec.submit_frames(step_pkts(1 + d))
     n = 0
     for k in range(3, n_steps + 3):
         dec.collect_frames()
         n += 1
         if k < n_steps + 1:
-            dec.submit_frames([pkts[(i + k) % 4] for i in range(batch)])
+            dec.submit_frames(step_pkts(k))
     dt = (time.time() - t0) / n
     log(f"dec batch={batch} steady: {dt*1000:.0f} ms/step "
         f"-> {batch*2.0736/dt:.2f} Mpix/s")
@@ -137,6 +142,11 @@ def dec_stage(batch):
 log(f"stage={STAGE} devices={jax.devices()}")
 if STAGE in ("cache1", "cache2"):
     enc_stage(4, steady=False)
+elif STAGE.startswith("enct"):
+    os.environ["FFV1_DEBUG"] = "timing"
+    import tpu_ffv1.log as _l
+    _l._debug.add("timing")
+    enc_stage(int(STAGE[4:]))
 elif STAGE.startswith("enc"):
     enc_stage(int(STAGE[3:]))
 elif STAGE == "dec4":

@@ -1,0 +1,145 @@
+"""Device-resident FFV1-P: byte-exactness vs the host FFV1PEncoder and
+full roundtrip through the host/TPU decoders."""
+import numpy as np
+import pytest
+
+from tpu_ffv1.codec.params import EncoderParams
+from tpu_ffv1.pframe.codec import FFV1PDecoder, FFV1PEncoder
+
+W, H = 96, 64
+
+
+def _moving_scene(n=6, w=W, h=H, seed=5):
+    rng = np.random.RandomState(seed)
+    base = (np.add.outer(np.arange(h + 64), np.arange(w + 64)) * 5
+            % 256).astype(np.uint8)
+    tex = rng.randint(0, 12, (h + 64, w + 64)).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        y = (base[t:t + h, 2 * t:2 * t + w] +
+             tex[t:t + h, 2 * t:2 * t + w]).astype(np.uint8)
+        u = (np.full((h // 2, w // 2), 100) + 2 * t).astype(np.uint8)
+        v = (np.full((h // 2, w // 2), 160) - t).astype(np.uint8)
+        frames.append([y.copy(), u, v])
+    return frames
+
+
+def _params(**kw):
+    d = dict(width=W, height=H, pix_fmt="yuv420p", level=3, coder=2,
+             slices=4, gop_size=3, slicecrc=1)
+    d.update(kw)
+    return EncoderParams(**d)
+
+
+def test_tpu_pframe_byte_exact_gop():
+    from tpu_ffv1.pframe.tpu import TPUFFV1PEncoder
+    frames = _moving_scene()
+    host = FFV1PEncoder(_params(), experimental=True)
+    ref = [host.encode_frame(f) for f in frames]
+    dev = TPUFFV1PEncoder(_params(), experimental=True)
+    for fi, f in enumerate(frames):
+        pkt, kf = dev.encode_frames([f])[0]
+        assert kf == ref[fi][1], f"frame {fi} keyflag"
+        assert pkt == ref[fi][0], f"frame {fi} bytes differ"
+
+
+def test_tpu_pframe_batch_streams():
+    from tpu_ffv1.pframe.tpu import TPUFFV1PEncoder
+    streams = [_moving_scene(seed=5), _moving_scene(seed=9)]
+    hosts = [FFV1PEncoder(_params(), experimental=True) for _ in range(2)]
+    refs = [[h.encode_frame(f) for f in s]
+            for h, s in zip(hosts, streams)]
+    dev = TPUFFV1PEncoder(_params(), experimental=True, batch=2)
+    for fi in range(len(streams[0])):
+        res = dev.encode_frames([streams[0][fi], streams[1][fi]])
+        for bi in range(2):
+            assert res[bi][0] == refs[bi][fi][0], (bi, fi)
+
+
+def test_tpu_pframe_roundtrip_and_compression():
+    from tpu_ffv1.pframe.tpu import TPUFFV1PEncoder
+    frames = _moving_scene(n=5)
+    dev = TPUFFV1PEncoder(_params(), experimental=True)
+    pkts = [dev.encode_frames([f])[0] for f in frames]
+    dec = FFV1PDecoder(W, H, dev.extradata)
+    for fi, (pkt, kf) in enumerate(pkts):
+        planes, k2 = dec.decode_frame(pkt)
+        assert k2 == kf
+        for a, b in zip(planes, frames[fi]):
+            assert np.array_equal(np.asarray(a), b), fi
+    # P frames must actually win vs intra on panning content
+    from tpu_ffv1.codec.encoder import FFV1Encoder
+    intra = FFV1Encoder(_params(gop_size=0))
+    isizes = [len(intra.encode_frame(f)[0]) for f in frames]
+    psizes = [len(p) for p, k in pkts if not k]
+    assert np.mean(psizes) < np.mean(isizes[1:]), (psizes, isizes)
+
+
+def test_tpu_pframe_pipelined_submit():
+    from tpu_ffv1.pframe.tpu import TPUFFV1PEncoder
+    frames = _moving_scene(n=6)
+    host = FFV1PEncoder(_params(gop_size=4), experimental=True)
+    ref = [host.encode_frame(f) for f in frames]
+    dev = TPUFFV1PEncoder(_params(gop_size=4), experimental=True)
+    dev.submit_frames([frames[0]])
+    dev.submit_frames([frames[1]])
+    got = []
+    for fi in range(2, len(frames)):
+        got.append(dev.collect_frames()[0])
+        dev.submit_frames([frames[fi]])
+    got.append(dev.collect_frames()[0])
+    got.append(dev.collect_frames()[0])
+    for fi, (pkt, kf) in enumerate(got):
+        assert pkt == ref[fi][0], fi
+
+
+def test_tpu_pframe_decoder_roundtrip():
+    from tpu_ffv1.pframe.tpu import TPUFFV1PDecoder, TPUFFV1PEncoder
+    frames = _moving_scene(n=6)
+    enc = TPUFFV1PEncoder(_params(), experimental=True)
+    pkts = [enc.encode_frames([f])[0] for f in frames]
+    dec = TPUFFV1PDecoder(W, H, enc.extradata)
+    for fi, (pkt, kf) in enumerate(pkts):
+        planes, k2 = dec.decode_frame(pkt)
+        assert k2 == kf
+        for a, b in zip(planes, frames[fi]):
+            assert np.array_equal(np.asarray(a), b), fi
+
+
+def test_tpu_pframe_decoder_batch_and_damage():
+    from tpu_ffv1.pframe.tpu import TPUFFV1PDecoder, TPUFFV1PEncoder
+    streams = [_moving_scene(seed=5), _moving_scene(seed=11)]
+    enc = TPUFFV1PEncoder(_params(), experimental=True, batch=2)
+    pkts = [enc.encode_frames([streams[0][fi], streams[1][fi]])
+            for fi in range(len(streams[0]))]
+    dec = TPUFFV1PDecoder(W, H, enc.extradata, batch=2)
+    for fi in range(len(pkts)):
+        res = dec.decode_frames([pkts[fi][0][0], pkts[fi][1][0]])
+        for bi in range(2):
+            for a, b in zip(res[bi][0], streams[bi][fi]):
+                assert np.array_equal(np.asarray(a), b), (fi, bi)
+    # trash a P packet byte: decoder must flag + conceal, then recover
+    # at the next keyframe
+    dec2 = TPUFFV1PDecoder(W, H, enc.extradata, batch=2)
+    good0 = dec2.decode_frames([pkts[0][0][0], pkts[0][1][0]])
+    bad = bytearray(pkts[1][0][0])
+    # flip a byte inside slice 0's PAYLOAD (a footer-field flip breaks
+    # the chain walk, which raises like the reference, ffv1dec.c:957)
+    s0_start, s0_end = dec2.base._split_slices(bytes(bad))[0]
+    bad[(s0_start + s0_end) // 2 - 6] ^= 0x5A
+    res = dec2.decode_frames([bytes(bad), pkts[1][1][0]])
+    assert dec2.slice_damaged[0].any()
+    # damaged rects must equal the PREVIOUS frame's content
+    g = dec2.base.geoms
+    for si, flag in enumerate(dec2.slice_damaged[0]):
+        if not flag:
+            continue
+        gm = g[si]
+        got = np.asarray(res[0][0][0])[gm.y:gm.y + gm.height,
+                                       gm.x:gm.x + gm.width]
+        want = np.asarray(good0[0][0][0])[gm.y:gm.y + gm.height,
+                                          gm.x:gm.x + gm.width]
+        assert np.array_equal(got, want)
+    # undamaged stream in the same batch stays exact
+    for a, b in zip(res[1][0], streams[1][1]):
+        assert np.array_equal(np.asarray(a), b)

@@ -313,6 +313,28 @@ class TPUFFV1Encoder:
         out, counts = finalize_bytes(packed, prefixes, plens)
         return out[:, :self.out_cap], counts, vlc_out
 
+    def _prefix_arrays(self, keyframe: bool):
+        """Per-lane host-prefix arrays (keyframe bit + slice headers).
+        Static per (geometry, keyframe) — cached, the per-step cost was
+        ~10 ms of ProvisionalRangeEncoder work at 24 slices."""
+        cache = getattr(self, "_prefix_cache", None)
+        if cache is None:
+            cache = self._prefix_cache = {}
+        if keyframe not in cache:
+            lows = np.zeros(self.L, np.int32)
+            ranges = np.zeros(self.L, np.int32)
+            prefixes = np.zeros((self.L, PREFIX_CAP), np.int32)
+            plens = np.zeros(self.L, np.int32)
+            for si in range(self.n_slices):
+                lo, ra, prov = self._host_prefix(si, keyframe)
+                for bi in range(self.batch):
+                    lane = bi * self.n_slices + si
+                    lows[lane], ranges[lane] = lo, ra
+                    prefixes[lane, :len(prov)] = prov
+                    plens[lane] = len(prov)
+            cache[keyframe] = (lows, ranges, prefixes, plens)
+        return cache[keyframe]
+
     def _host_prefix(self, si: int, keyframe: bool):
         rp = self.rp
         enc = ProvisionalRangeEncoder(*default_state_tables())
@@ -469,6 +491,19 @@ class TPUFFV1Encoder:
                     acts_np[lane, :n] = True
             acts = jnp.asarray(acts_np)
 
+        out, counts, states_out, overflow, packed, low, rng = \
+            self._scan_finalize(ctxs, diffs, acts, states0, lows,
+                                ranges, prefixes, plens, use_pallas)
+        return out[:, :self.out_cap], counts, states_out, overflow, \
+            packed, low, rng
+
+    def _scan_finalize(self, ctxs, diffs, acts, states0, lows, ranges,
+                       prefixes, plens, use_pallas=True, bits=None):
+        """Lane scan + finalize, optionally shard_mapped over the mesh.
+        Shared by the intra pipeline and the P-frame pipeline
+        (pframe/tpu.py, which codes at bits + 1 — the ``bits``
+        override)."""
+        bits = self.bits if bits is None else bits
         # carry resolution runs over the uncompacted slot stream
         # (invalid slots are neutral propagators), per-pixel slot
         # compaction happens in-kernel (Pallas) or via masked reductions
@@ -484,7 +519,7 @@ class TPUFFV1Encoder:
                 # savings); kept behind FFV1_PALLAS_COMPACT=1
                 cm, low, rng, states_out = rc_encode_pallas_compact(
                     ctxs, diffs, acts, states0, self.one_tab,
-                    self.zero_tab, lows, ranges, self.bits,
+                    self.zero_tab, lows, ranges, bits,
                     self.pallas_chunk)
                 out, counts, overflow = finalize_compact(cm, low, rng,
                                                          prefixes, plens)
@@ -492,7 +527,7 @@ class TPUFFV1Encoder:
             elif self.use_pallas and use_pallas:
                 packed, low, rng, states_out = rc_encode_pallas_packed(
                     ctxs, diffs, acts, states0, self.one_tab,
-                    self.zero_tab, lows, ranges, self.bits,
+                    self.zero_tab, lows, ranges, bits,
                     self.pallas_chunk)
                 out, counts, overflow = finalize_packed(packed, low, rng,
                                                         prefixes, plens)
@@ -500,7 +535,7 @@ class TPUFFV1Encoder:
                 prov, valid, low, rng, states_out = \
                     rc_encode_scan_lanes_unrolled(
                         ctxs, diffs, acts, states0, self.one_tab,
-                        self.zero_tab, lows, ranges, self.bits,
+                        self.zero_tab, lows, ranges, bits,
                         self.unroll)
                 packed = jnp.moveaxis(
                     prov + (valid.astype(jnp.int32) << 20), 1, 2)
@@ -524,8 +559,7 @@ class TPUFFV1Encoder:
             out, counts, states_out, overflow, packed, low, rng = \
                 scanfin(ctxs, diffs, acts, states0, lows, ranges,
                         prefixes, plens)
-        return out[:, :self.out_cap], counts, states_out, overflow, \
-            packed, low, rng
+        return out, counts, states_out, overflow, packed, low, rng
 
     def _assemble(self, payloads):
         rp = self.rp
@@ -576,18 +610,7 @@ class TPUFFV1Encoder:
             self.picture_number += 1
             return
 
-        # host prefixes (identical across streams: geometry + key bit)
-        lows = np.zeros(self.L, np.int32)
-        ranges = np.zeros(self.L, np.int32)
-        prefixes = np.zeros((self.L, PREFIX_CAP), np.int32)
-        plens = np.zeros(self.L, np.int32)
-        for si in range(self.n_slices):
-            lo, ra, prov = self._host_prefix(si, keyframe)
-            for bi in range(self.batch):
-                lane = bi * self.n_slices + si
-                lows[lane], ranges[lane] = lo, ra
-                prefixes[lane, :len(prov)] = prov
-                plens[lane] = len(prov)
+        lows, ranges, prefixes, plens = self._prefix_arrays(keyframe)
 
         if self.fast:
             def upload():
@@ -671,14 +694,20 @@ class TPUFFV1Encoder:
         self.picture_number += 1
 
     def _submit_golomb(self, streams_np, keyframe: bool):
-        prefixes = np.zeros((self.L, PREFIX_CAP), np.int32)
-        plens = np.zeros(self.L, np.int32)
-        for si in range(self.n_slices):
-            pb = self._host_prefix_golomb(si, keyframe)
-            for bi in range(self.batch):
-                lane = bi * self.n_slices + si
-                prefixes[lane, :len(pb)] = np.frombuffer(pb, np.uint8)
-                plens[lane] = len(pb)
+        cache = getattr(self, "_gprefix_cache", None)
+        if cache is None:
+            cache = self._gprefix_cache = {}
+        if keyframe not in cache:
+            prefixes = np.zeros((self.L, PREFIX_CAP), np.int32)
+            plens = np.zeros(self.L, np.int32)
+            for si in range(self.n_slices):
+                pb = self._host_prefix_golomb(si, keyframe)
+                for bi in range(self.batch):
+                    lane = bi * self.n_slices + si
+                    prefixes[lane, :len(pb)] = np.frombuffer(pb, np.uint8)
+                    plens[lane] = len(pb)
+            cache[keyframe] = (prefixes, plens)
+        prefixes, plens = cache[keyframe]
 
         def upload():
             nplanes = len(streams_np[0])

@@ -94,35 +94,31 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
         t = tree(t1_ref, idx)
         return jnp.where(b == 1, t, (256 - t) & 0xFF)
 
-    def feed_words(nrounds, p):
-        """Insert one buffer word per round into each lane's WORD
-        window — (32, L) int32 rows = 128 bytes of lookahead, row
-        (fill >> 2) & 31.  The per-lane scalar sweep is the kernel's
-        main O(L) cost, so the schedule is:
-
-          * an UNCONDITIONAL 1-word round every other pixel (2 B/px of
-            feed vs ~1.3 B/px typical consumption keeps lanes near the
-            cap), and
-          * a rare catch-up burst (12 rounds) behind a 48-byte
-            low-water check every other pixel (> 2 x the worst-case
-            pixel of 2*e_max+3 <= 21 renorm bytes at 10 bits), for
-            lanes whose burst consumption outruns the paced feed.
+    def feed_block(p):
+        """Insert an 8-word (32-byte) block into each lane's WORD
+        window — (32, L) int32 rows = 128 bytes of lookahead, rows
+        (fill >> 2) & 31 .. +8 (8-aligned: fills advance in 32-byte
+        steps from a 32-aligned start, so the dynamic slices satisfy
+        Mosaic's alignment rule and one block lands per lane in ~5 ops
+        instead of 8 x ~5 for the old per-word rounds — the per-lane
+        feed sweep was the kernel's main O(L) cost after the state
+        loops).
 
         ``p`` must be the CURRENT read position (the loop-carried
-        value, not the poss scratch, which is only synced at row end).
-        The capacity guard (fill - pos <= 124) keeps the insert row
-        strictly ahead of the read row."""
-        for _ in range(nrounds):
-            fp = fills[pl.ds(0, 1), :]
-            do = (fp - p) <= 124
-            w_acc = jnp.zeros((1, L), jnp.int32)
-            for lane in range(L):
-                wi = fills[0, lane] >> 2
-                wv = bufs_ref[jnp.minimum(wi, capw - 1), lane]
-                w_acc = w_acc + wv * (lane_iota == lane)
-            m = do & (iota32s == ((fp >> 2) & 31))
-            win[...] = jnp.where(m, w_acc, win[...])
-            fills[pl.ds(0, 1), :] = jnp.where(do, fp + 4, fp)
+        value).  The capacity guard (fill - pos <= 96) keeps the 8
+        inserted rows strictly ahead of the read row."""
+        fp = fills[pl.ds(0, 1), :]
+        do = (fp - p) <= 96                       # (1, L) vector mask
+        for lane in range(L):
+            wi = fills[0, lane] >> 2              # 8-aligned word row
+            base = pl.multiple_of(
+                jnp.minimum(wi, capw - 8) & ~7, 8)
+            wv = bufs_ref[pl.ds(base, 8), lane:lane + 1]   # (8, 1)
+            row = pl.multiple_of((wi & 31) & ~7, 8)
+            m = (lane_iota == lane) & do          # (1, L)
+            cur = win[pl.ds(row, 8), :]
+            win[pl.ds(row, 8), :] = jnp.where(m, wv, cur)
+        fills[pl.ds(0, 1), :] = jnp.where(do, fp + 32, fp)
 
     @pl.when(y == 0)
     def _init():
@@ -130,9 +126,11 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
         lows[...] = low0_ref[...]
         rngs[...] = rng0_ref[...]
         poss[...] = pos0_ref[...]
-        fills[pl.ds(0, 1), :] = pos0_ref[...] & ~3
+        # 32-aligned start so block inserts stay 8-row aligned
+        fills[pl.ds(0, 1), :] = pos0_ref[...] & ~31
         win[...] = jnp.zeros((32, L), jnp.int32)
-        feed_words(24, pos0_ref[...])
+        for _ in range(4):
+            feed_block(pos0_ref[...])
         plft_ref[...] = jnp.zeros((1, L), jnp.int32)
         rowbuf[...] = jnp.zeros((Wpad + 16, L), jnp.int32)
 
@@ -157,17 +155,22 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
         decoded = []
 
         for px in range(8):
-            # paced feed + rare catch-up, both every other pixel (see
-            # feed_words): the unconditional round keeps lanes near the
-            # 128-byte cap; the 48-byte low-water burst catches
-            # consumption spikes (worst pixel = 2*e_max+3 renorm bytes)
+            # paced feed: one unconditional 32-byte block insert per
+            # 8-pixel group (4 B/px of feed vs ~1.3 B/px typical
+            # consumption), plus a low-water check every other pixel
+            # triggering a 64-byte catch-up — worst-case consumption
+            # between checks is 2 x (2*e_max+3) <= 42 bytes at 10 bits,
+            # so an 88-byte floor at each check keeps reads strictly
+            # behind the fill even on pathological streams
+            if px == 0:
+                feed_block(pos)
             if px % 2 == 0:
-                feed_words(1, pos)
                 minf[0, 0] = jnp.min(fills[pl.ds(0, 1), :] - pos)
 
-                @pl.when(minf[0, 0] < 48)
+                @pl.when(minf[0, 0] < 88)
                 def _():
-                    feed_words(12, pos)
+                    feed_block(pos)
+                    feed_block(pos)
 
             T = prev16[px:px + 1, :]
             RT = prev16[px + 1:px + 2, :]
@@ -289,13 +292,15 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
             if L % 8:
                 new_rows8 = jnp.concatenate(
                     [new_rows8, jnp.zeros((8 - L % 8, 32), jnp.int8)], 0)
+            # lane-replicate once; wmask's lane_lt32 keeps the merge to
+            # the real 32 slots (see rc_pallas.py write loop)
+            new_rows128 = jnp.concatenate([new_rows8] * 4, axis=1)
             for lane in range(L):
                 base = bases[lane]  # reuse the read loop's scalar fetch
                 b8 = (lane // 8) * 8
-                nr = jnp.sum(jnp.where(iota8 == (lane % 8),
-                                       new_rows8[b8:b8 + 8, :], 0),
-                             axis=0, keepdims=True)
-                nr128 = jnp.concatenate([nr, nr, nr, nr], axis=1)
+                nr128 = jnp.sum(jnp.where(iota8 == (lane % 8),
+                                          new_rows128[b8:b8 + 8, :], 0),
+                                axis=0, keepdims=True)
                 wmask = (iota8 == subs[lane]) & lane_lt32
                 nb = jnp.where(wmask, nr128, blocks[lane])
                 states[lane, pl.ds(base, 8), :] = nb

@@ -193,17 +193,22 @@ def _kernel(bits, L, CC, CH, S, order, compact,
         if L % 8:
             new_rows8 = jnp.concatenate(
                 [new_rows8, jnp.zeros((8 - L % 8, 32), jnp.int8)], axis=0)
+        # lane-replicate ONCE (1 op) — the per-lane loop then extracts
+        # an already-replicated (1, 128) row; wmask's lane_lt32 restricts
+        # the merge to the real 32 slots, so replication garbage beyond
+        # lane 32 never lands.  (The previous per-lane 4x concat was
+        # ~1/3 of the write loop, itself 53% of kernel time.)
+        new_rows128 = jnp.concatenate([new_rows8] * 4, axis=1)  # (L', 128)
         for lane in range(L):
             base_r = bases[lane]   # reuse the read loop's scalar fetch
-            # lane's row from new_rows: 8-aligned STATIC slice (vreg
-            # pick, free) + constant-mask sublane select — row-offset
-            # (non-aligned) slices trip Mosaic layout inference, and a
-            # full (L, 32) masked reduction costs ~L/8 tile-ops per lane
+            # lane's row: 8-aligned STATIC slice (vreg pick, free) +
+            # constant-mask sublane select — row-offset (non-aligned)
+            # slices trip Mosaic layout inference, and a full (L, 32)
+            # masked reduction costs ~L/8 tile-ops per lane
             b8 = (lane // 8) * 8
-            nr = jnp.sum(jnp.where(iota8 == (lane % 8),
-                                   new_rows8[b8:b8 + 8, :], 0),
-                         axis=0, keepdims=True)          # (1, 32) int8
-            nr128 = jnp.concatenate([nr, nr, nr, nr], axis=1)  # (1, 128)
+            nr128 = jnp.sum(jnp.where(iota8 == (lane % 8),
+                                      new_rows128[b8:b8 + 8, :], 0),
+                            axis=0, keepdims=True)       # (1, 128) int8
             wmask = (iota8 == subs[lane]) & lane_lt32    # (8, 128)
             nb = jnp.where(wmask, nr128, blocks[lane])
             states[lane, pl.ds(base_r, 8), :] = nb
