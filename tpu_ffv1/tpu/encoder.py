@@ -12,9 +12,9 @@ Pipeline per frame (range-coder versions):
 
 Adaptive states live on device across frames (GOP context carry-over,
 ffv1enc.c:1171-1172): non-key frames continue from states_out, keyframes
-reset.  Bit depths > 10 fall back to the naive per-slice scan
-(rc_scan.py) — exponents there can exceed 9, breaking the fast path's
-distinct-state-index property.
+reset.  Coded widths <= 10 bits take the distinct-slot fast schedule;
+11..17 bits (yuv444p16, RGB48) take the extended schedule that chains
+put_symbol's repeated rows 10/31 sequentially (rc_scan_fast.ext_slots).
 
 Byte output is validated against the spec encoder (tests/test_tpu.py) and
 hence against the reference binary.
@@ -112,10 +112,12 @@ class TPUFFV1Encoder:
         # for <= 8-bit inputs, bits + 1 above (ffv1enc.c:464-467)
         self.bits = self.raw_bits + 1 if self.rgb else self.raw_bits
         self.fast = self.bits <= 10
-        if self.rgb and not self.fast:
-            raise NotImplementedError(
-                "TPU RGB path covers coded depths <= 10 bits (bgr0/"
-                "bgra/gbrp9); deeper RGB runs on the host engine")
+        # 11..17-bit coded widths (yuv444p16, RGB48's bits+1 = 17,
+        # 10-bit P residuals) ride the extended schedule, which chains
+        # the repeated put_symbol rows 10/31 sequentially
+        # (rc_scan_fast.ext_slots); beyond 17 nothing exists (16-bit
+        # samples max, +1 for RGB/P residuals)
+        self.ext = 10 < self.bits <= 17
         self.n_slices = len(self.geoms)
         self.L = self.n_slices * batch
         # multi-chip: shard slice lanes over a device mesh (the
@@ -191,12 +193,14 @@ class TPUFFV1Encoder:
         # transfer-size cap for the output byte planes (host re-checks
         # counts; codeable worst case is ~2.2 bytes/pixel at 8 bit for
         # the range coder, (12 + bits)/8 for the Golomb escape path)
-        self.out_cap = self.n_max * (4 if self.golomb else 3) + 4096
+        self.out_cap = self.n_max * (4 if self.golomb or self.bits > 10
+                                     else 3) + 4096
         # whole-frame fused pipeline (one dispatch per frame — critical
         # under remote/eager backends where each op is a round trip)
         self._frame_fn = (jax.jit(self._frame_pipeline,
                                   static_argnames=("use_pallas",))
-                          if self.fast and not self.golomb else None)
+                          if (self.fast or self.ext) and not self.golomb
+                          else None)
 
         if self.golomb:
             # device Golomb-Rice path (the reference's default coder,
@@ -494,8 +498,22 @@ class TPUFFV1Encoder:
         out, counts, states_out, overflow, packed, low, rng = \
             self._scan_finalize(ctxs, diffs, acts, states0, lows,
                                 ranges, prefixes, plens, use_pallas)
+        # version-4 budget semantics (ffv1enc.c:283-287 + :1207-1217):
+        # provisional emission counts at each coded-line start, so the
+        # host can run the reference's remaining-budget < w*35 check and
+        # retry failing slices as PCM.  Tiny (rows x L) device->host
+        # fetch; versions <= 3 skip it (they hard-error on overflow).
+        if self.rp.version > 3 and self.uniform:
+            offs = np.array([o for o, _w in
+                             self._row_offsets(self.geoms[0])], np.int32)
+            per_px = jnp.sum((packed >> 20) & 1, axis=1)     # (N, L)
+            cum = jnp.cumsum(per_px, axis=0)
+            gathered = cum[jnp.maximum(offs - 1, 0)]         # (R, L)
+            rowbytes = jnp.where(offs[:, None] == 0, 0, gathered)
+        else:
+            rowbytes = jnp.zeros((0, self.L), jnp.int32)
         return out[:, :self.out_cap], counts, states_out, overflow, \
-            packed, low, rng
+            packed, low, rng, rowbytes
 
     def _scan_finalize(self, ctxs, diffs, acts, states0, lows, ranges,
                        prefixes, plens, use_pallas=True, bits=None):
@@ -511,8 +529,22 @@ class TPUFFV1Encoder:
         # key|byte sort — see finalize_compact/finalize_packed.
         # Overflow (a pixel emitted > 4 bytes; unobserved even on
         # full-range noise) makes the host redo the frame full-width.
+        s2 = 4 if bits <= 10 else 6
         def scanfin(ctxs, diffs, acts, states0, lows, ranges, prefixes,
                     plens):
+            if bits > 10:
+                # extended schedule (rows 10/31 repeat; XLA form — the
+                # Pallas ext kernel routes here too until specialized)
+                from .rc_scan_lanes import rc_encode_scan_lanes_ext
+                prov, valid, low, rng, states_out = \
+                    rc_encode_scan_lanes_ext(
+                        ctxs, diffs, acts, states0, self.one_tab,
+                        self.zero_tab, lows, ranges, bits)
+                packed = jnp.moveaxis(
+                    prov + (valid.astype(jnp.int32) << 20), 1, 2)
+                out, counts, overflow = finalize_packed(
+                    packed, low, rng, prefixes, plens, s2=s2)
+                return out, counts, states_out, overflow, packed, low, rng
             if self.use_pallas and use_pallas and self.pallas_compact:
                 # measured SLOWER than the raw form on v5e (the
                 # per-pixel compaction block outweighs the HBM/finalize
@@ -612,7 +644,7 @@ class TPUFFV1Encoder:
 
         lows, ranges, prefixes, plens = self._prefix_arrays(keyframe)
 
-        if self.fast:
+        if self.fast or self.ext:
             def upload():
                 # planes are stacked over the batch and split into
                 # ~3 MB row bands issued concurrently — the tunnel to
@@ -646,7 +678,7 @@ class TPUFFV1Encoder:
                     else self.states
                 with phase_timer("tpu-enc", "dispatch"):
                     (out, counts, states_out, overflow, packed, low,
-                     rng) = self._frame_fn(
+                     rng, rowbytes) = self._frame_fn(
                         streams, states0, jnp.asarray(lows),
                         jnp.asarray(ranges), jnp.asarray(prefixes),
                         jnp.asarray(plens))
@@ -667,6 +699,9 @@ class TPUFFV1Encoder:
 
                 counts_fut = self._xfer_pool.submit(
                     lambda: np.asarray(counts))
+                rowbytes_fut = (self._xfer_pool.submit(
+                    lambda: np.asarray(rowbytes))
+                    if rowbytes.shape[0] else None)
                 spec_futs = None
                 if spec:
                     spec_futs = [
@@ -679,6 +714,7 @@ class TPUFFV1Encoder:
                     streams=streams, states0=states0, lows=lows,
                     ranges=ranges, prefixes=prefixes, plens=plens,
                     streams_np=streams_np, counts_fut=counts_fut,
+                    rowbytes_fut=rowbytes_fut,
                     spec_futs=spec_futs, spec=spec, bounds=bounds,
                     fetch=fetch)
 
@@ -773,7 +809,7 @@ class TPUFFV1Encoder:
                 packed, low, rng = p["packed"], p["low"], p["rng"]
                 if self.use_pallas and self.pallas_compact:
                     (out, counts, states_out, ovf2, packed, low,
-                     rng) = self._frame_fn(
+                     rng, _rb) = self._frame_fn(
                         p["streams"], p["states0"],
                         jnp.asarray(p["lows"]), jnp.asarray(p["ranges"]),
                         jnp.asarray(p["prefixes"]),
@@ -809,6 +845,29 @@ class TPUFFV1Encoder:
             with phase_timer("tpu-enc", "counts-fetch"):
                 counts_np = np.array(p["counts_fut"].result())
             pcm_lanes = []
+            if p.get("rowbytes_fut") is not None:
+                # reference budget check per coded line (the
+                # _encode_slow path's loop, now device-assisted):
+                # remaining slice budget < w*35 at any line start =>
+                # the slice retries as PCM (ffv1enc.c:283-287,
+                # :1207-1217)
+                rb = p["rowbytes_fut"].result()          # (R, L)
+                budget = self._slice_budget()
+                rows = self._row_offsets(self.geoms[0])
+                wrows = np.array([w for _o, w in rows], np.int32)
+                plens_v = p["plens"]
+                rem = budget - (plens_v[None, :] + rb)   # (R, L)
+                bad = (rem < wrows[:, None] * 35).any(axis=0)
+                if bad.any():
+                    if self._pending:
+                        raise RuntimeError(
+                            "PCM fallback with frames in flight would "
+                            "corrupt the GOP context chain; use "
+                            "encode_frames() (depth-1) for v4 content "
+                            "that may overflow")
+                    pcm_lanes = [int(li) for li in np.nonzero(bad)[0]]
+                    for li in pcm_lanes:
+                        counts_np[li] = 0
             if counts_np.max() > self.out_cap:
                 # reference semantics: version-4 range-coder slices retry
                 # as PCM on buffer overflow (ffv1enc.c:1207-1217); other

@@ -297,10 +297,8 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
             new_rows128 = jnp.concatenate([new_rows8] * 4, axis=1)
             for lane in range(L):
                 base = bases[lane]  # reuse the read loop's scalar fetch
-                b8 = (lane // 8) * 8
-                nr128 = jnp.sum(jnp.where(iota8 == (lane % 8),
-                                          new_rows128[b8:b8 + 8, :], 0),
-                                axis=0, keepdims=True)
+                # static single-sublane slice (see rc_pallas.py)
+                nr128 = new_rows128[lane:lane + 1, :]
                 wmask = (iota8 == subs[lane]) & lane_lt32
                 nb = jnp.where(wmask, nr128, blocks[lane])
                 states[lane, pl.ds(base, 8), :] = nb

@@ -201,14 +201,10 @@ def _kernel(bits, L, CC, CH, S, order, compact,
         new_rows128 = jnp.concatenate([new_rows8] * 4, axis=1)  # (L', 128)
         for lane in range(L):
             base_r = bases[lane]   # reuse the read loop's scalar fetch
-            # lane's row: 8-aligned STATIC slice (vreg pick, free) +
-            # constant-mask sublane select — row-offset (non-aligned)
-            # slices trip Mosaic layout inference, and a full (L, 32)
-            # masked reduction costs ~L/8 tile-ops per lane
-            b8 = (lane // 8) * 8
-            nr128 = jnp.sum(jnp.where(iota8 == (lane % 8),
-                                      new_rows128[b8:b8 + 8, :], 0),
-                            axis=0, keepdims=True)       # (1, 128) int8
+            # lane's row: STATIC single-sublane slice (measured fine on
+            # v5e Mosaic — only DYNAMIC non-8-aligned slices are
+            # rejected), merged into the block under the sublane mask
+            nr128 = new_rows128[lane:lane + 1, :]        # (1, 128) int8
             wmask = (iota8 == subs[lane]) & lane_lt32    # (8, 128)
             nb = jnp.where(wmask, nr128, blocks[lane])
             states[lane, pl.ds(base_r, 8), :] = nb

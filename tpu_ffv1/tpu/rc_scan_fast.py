@@ -50,6 +50,33 @@ def slot_count(bits: int) -> int:
     return len(chain_order(bits))
 
 
+def ext_slots(bits: int):
+    """Static decision list for coded widths 11..17 bits (e_max 10..16),
+    where put_symbol's state-row caps (1+min(j,9), 22+min(i,9),
+    ffv1enc.c:185-231 FFMIN) make rows 10 and 31 carry SEVERAL
+    decisions per pixel — the property break that kept the fast kernels
+    at bits <= 10 (VERDICT round 2, missing #3).
+
+    Returns a list of slot descriptors in coding order:
+      ("zero",)            row 0,   act always,        bit = (v == 0)
+      ("exp", j)           row 1+min(j,9), act j <= e, bit = j < e
+                           (j >= 9 repeats row 10: apply transitions
+                           sequentially through a running state)
+      ("man31", r)         row 31,  act e >= 10 + r,   bit = a>>(e-1-r)
+                           (repeats row 31, running state)
+      ("man", i)           row 22+i (i <= 8), act i < e, bit = a >> i
+      ("sign",)            row 11+min(e,10), dynamic select
+    """
+    e_max = bits - 1
+    assert 10 <= e_max <= 16
+    slots = [("zero",)]
+    slots += [("exp", j) for j in range(e_max + 1)]
+    slots += [("man31", r) for r in range(e_max - 9)]
+    slots += [("man", i) for i in range(8, -1, -1)]
+    slots.append(("sign",))
+    return slots
+
+
 def chain_order_nosign(bits: int):
     """chain_order without the sign-candidate positions (11..11+e_max).
 

@@ -388,8 +388,8 @@ def finalize_lanes_resolve(prov, valid, low, rng, prefix, prefix_len):
     return _resolve_compact(flat_b, flat_v, low, rng, prefix, prefix_len)
 
 
-@jax.jit
-def finalize_packed(packed, low, rng, prefix, prefix_len):
+@functools.partial(jax.jit, static_argnames=("s2",))
+def finalize_packed(packed, low, rng, prefix, prefix_len, s2: int = 4):
     """Finalize from the raw Pallas kernel output.
 
     packed: int32[N, S, L] with bit 20 = emit flag and bits 0..16 the
@@ -399,9 +399,10 @@ def finalize_packed(packed, low, rng, prefix, prefix_len):
     overflow bool[L]) — on a lane's overflow (a pixel emitted > S2
     bytes, <1e-4 of pixels) the caller must take the full-width path.
     Overflow is per-lane so the whole finalize shards over a device
-    mesh with no collective (tpu/sharding.py).
+    mesh with no collective (tpu/sharding.py).  ``s2`` is 4 for coded
+    widths <= 10 bits; deeper content uses 6 (more bytes per pixel).
     """
-    S2 = 4
+    S2 = s2
     N, S, L = packed.shape
     valid = (packed >> 20) & 1
     pv = packed & 0x1FFFF
@@ -414,8 +415,33 @@ def finalize_packed(packed, low, rng, prefix, prefix_len):
         axis=1)                                           # (N, S2, L)
     vld = (jnp.arange(S2, dtype=jnp.int32)[None, :, None]
            < total_pix[:, None, :])
-    flat_b = jnp.transpose(slots, (2, 0, 1)).reshape(L, N * S2)
-    flat_v = jnp.transpose(vld, (2, 0, 1)).reshape(L, N * S2)
+
+    # second compaction level: 16-pixel groups -> 24 slots (1.5/px vs
+    # the per-pixel level's 4/px).  The dominant finalize cost is the
+    # sort network over the slot stream (O(T log^2 T) byte moves), so
+    # shrinking T 2.7x pays for the extra masked reductions several
+    # times over (measured: finalize 152 ms at 4/px slots, batch 4
+    # 1080p).  Typical content emits ~1.05 B/px, so a 24-byte cap per
+    # 16 px overflows only on near-noise content — the existing
+    # full-width fallback path handles those frames.
+    G, C = 16, 24
+    if s2 == 4 and N % G == 0:
+        gs = slots.reshape(N // G, G * S2, L)
+        gv = vld.reshape(N // G, G * S2, L).astype(jnp.int32)
+        ginc = jnp.cumsum(gv, axis=1)
+        gexc = ginc - gv
+        gcount = ginc[:, -1, :]                           # (N/G, L)
+        overflow = overflow | (jnp.max(gcount, axis=0) > C)
+        slots = jnp.stack(
+            [jnp.sum(gs * gv * (gexc == k), axis=1) for k in range(C)],
+            axis=1)                                       # (N/G, C, L)
+        vld = (jnp.arange(C, dtype=jnp.int32)[None, :, None]
+               < gcount[:, None, :])
+        M = (N // G) * C
+    else:
+        M = N * S2
+    flat_b = jnp.transpose(slots, (2, 0, 1)).reshape(L, M)
+    flat_v = jnp.transpose(vld, (2, 0, 1)).reshape(L, M)
     out, count = _resolve_compact(flat_b, flat_v, low, rng,
                                   prefix, prefix_len)
     return out, count, overflow
@@ -453,3 +479,116 @@ def finalize_packed_full(packed, low, rng, prefix, prefix_len):
     flat_v = jnp.transpose((packed >> 20) & 1,
                            (2, 0, 1)).reshape(L, N * S).astype(bool)
     return _resolve_compact(flat_b, flat_v, low, rng, prefix, prefix_len)
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def rc_encode_scan_lanes_ext(ctx, diff, active, states0, one_tab,
+                             zero_tab, low0, range0, bits: int):
+    """Lane-major scan for coded widths 11..17 bits.
+
+    put_symbol's FFMIN row caps give rows 10 and 31 SEVERAL decisions
+    per pixel at these widths (ffv1enc.c:185-231), so those rows carry
+    running states with sequential transitions; all other rows keep the
+    one-shot vectorized adaptation.  Same contract/outputs as
+    rc_encode_scan_lanes (S = 2*bits + 1 slots).
+    """
+    from .rc_scan_fast import ext_slots
+    slots = ext_slots(bits)
+    L, CC = states0.shape[0], states0.shape[1]
+    one_i = one_tab.astype(jnp.int32)
+    zero_i = zero_tab.astype(jnp.int32)
+    lane_base = jnp.arange(L, dtype=jnp.int32) * CC
+    lanes = jnp.arange(L)
+
+    S0 = states0.reshape(L * CC, 32).astype(jnp.int32)
+
+    def step(carry, xs):
+        states, low, rng = carry
+        c, v, act_px = xs                    # (L,)
+        fi = lane_base + c
+        row = states[fi]                     # (L, 32)
+        a = jnp.abs(v)
+        e = 31 - jax.lax.clz(jnp.maximum(a, 1).astype(jnp.uint32)) \
+            .astype(jnp.int32)
+        nz = v != 0
+        sign_col = 11 + jnp.minimum(e, 10)
+
+        s10 = row[:, 10]
+        s31 = row[:, 31]
+        new_row = row
+
+        out_b = []
+        out_v = []
+        low_c, rng_c = low, rng
+
+        def trans(s, b):
+            return jnp.where(b == 1, one_i[s], zero_i[s])
+
+        for sl in slots:
+            kind = sl[0]
+            if kind == "zero":
+                act = act_px
+                bit = (~nz).astype(jnp.int32)
+                s = row[:, 0]
+            elif kind == "exp":
+                j = sl[1]
+                act = act_px & nz & (j <= e)
+                bit = (j < e).astype(jnp.int32)
+                s = row[:, 1 + j] if j <= 8 else s10
+            elif kind == "man31":
+                r = sl[1]
+                act = act_px & nz & (e >= 10 + r)
+                bit = (a >> jnp.clip(e - 1 - r, 0, 31)) & 1
+                s = s31
+            elif kind == "man":
+                i = sl[1]
+                act = act_px & nz & (i < e)
+                bit = (a >> i) & 1
+                s = row[:, 22 + i]
+            else:  # sign
+                act = act_px & nz
+                bit = (v < 0).astype(jnp.int32)
+                s = jnp.take_along_axis(new_row, sign_col[:, None],
+                                        axis=1)[:, 0]
+
+            r1 = (rng_c * s) >> 8
+            nr = jnp.where(bit == 1, r1, rng_c - r1)
+            nl = low_c + jnp.where(bit == 1, rng_c - r1, 0)
+            emit = act & (nr < 0x100)
+            out_b.append((nl >> 8) |
+                         jnp.where((nl & 0xFF) != 0, 1 << 16, 0))
+            out_v.append(emit)
+            nl = jnp.where(emit, (nl & 0xFF) << 8, nl)
+            nr = jnp.where(emit, nr << 8, nr)
+            low_c = jnp.where(act, nl, low_c)
+            rng_c = jnp.where(act, nr, rng_c)
+
+            ns = trans(s, bit)
+            if kind == "exp" and sl[1] >= 9:
+                s10 = jnp.where(act, ns, s10)
+            elif kind == "man31":
+                s31 = jnp.where(act, ns, s31)
+            elif kind == "exp":
+                new_row = new_row.at[:, 1 + sl[1]].set(
+                    jnp.where(act, ns, new_row[:, 1 + sl[1]]))
+            elif kind == "man":
+                new_row = new_row.at[:, 22 + sl[1]].set(
+                    jnp.where(act, ns, new_row[:, 22 + sl[1]]))
+            elif kind == "zero":
+                new_row = new_row.at[:, 0].set(
+                    jnp.where(act, ns, new_row[:, 0]))
+            else:  # sign: dynamic column scatter
+                cur = jnp.take_along_axis(new_row, sign_col[:, None],
+                                          axis=1)[:, 0]
+                new_row = new_row.at[lanes, sign_col].set(
+                    jnp.where(act, ns, cur))
+        new_row = new_row.at[:, 10].set(s10)
+        new_row = new_row.at[:, 31].set(s31)
+        states = states.at[fi].set(new_row)
+        return (states, low_c, rng_c), (jnp.stack(out_b, 1),
+                                        jnp.stack(out_v, 1))
+
+    (states, low, rng), (prov, valid) = jax.lax.scan(
+        step, (S0, low0, range0), (ctx.T, diff.T, active.T))
+    states_out = states.astype(jnp.uint8).reshape(L, CC, 32)
+    return prov, valid, low, rng, states_out
