@@ -271,6 +271,23 @@ def check_hw_parity():
         ok_all &= ok
         log(f"hw-check encode {label}: {'PASS' if ok else 'FAIL'}")
 
+    # shard_map + Pallas on a real 1-device mesh: the combination a
+    # real pod would run (CPU-mesh tests force the XLA scan, so this is
+    # the only place the sharded Pallas kernel executes)
+    from tpu_ffv1.tpu.sharding import make_mesh
+    kw = dict(pix_fmt="yuv420p", level=3, coder=2, slices=4, gop_size=2)
+    host = FFV1Encoder(EncoderParams(width=W, height=H, **kw))
+    ref = [host.encode_frame(f) for f in frames]
+    dev = TPUFFV1Encoder(EncoderParams(width=W, height=H, **kw),
+                         mesh=make_mesh(1))
+    ok = dev.use_pallas
+    for fi, f in enumerate(frames):
+        pkt, kf = dev.encode_frame(f)
+        ok &= (pkt == ref[fi][0] and kf == ref[fi][1])
+    results["encode_range_mesh1_pallas"] = ok
+    ok_all &= ok
+    log(f"hw-check encode mesh(1)+pallas: {'PASS' if ok else 'FAIL'}")
+
     host = FFV1Encoder(EncoderParams(width=W, height=H, pix_fmt="yuv420p",
                                      level=3, coder=2, slices=4))
     pkts = [host.encode_frame(f)[0] for f in frames]

@@ -143,3 +143,36 @@ def test_tpu_pframe_decoder_batch_and_damage():
     # undamaged stream in the same batch stays exact
     for a, b in zip(res[1][0], streams[1][1]):
         assert np.array_equal(np.asarray(a), b)
+
+
+def test_tpu_pframe_10bit_422():
+    """BASELINE config 5's codec shape (10-bit 422 P-frame): device
+    encode byte-exact vs host; host decoder roundtrip.  Residuals code
+    at 11 bits through the extended schedule."""
+    from tpu_ffv1.pframe.tpu import TPUFFV1PEncoder
+    w, h = 96, 64
+    rng = np.random.RandomState(4)
+    base = (np.add.outer(np.arange(h + 32), np.arange(w + 32)) * 9
+            % 1024).astype(np.uint16)
+    frames = []
+    for t in range(4):
+        y = ((base[t:t + h, 2 * t:2 * t + w] +
+              rng.randint(0, 24, (h, w))) & 1023).astype(np.uint16)
+        u = (rng.randint(0, 40, (h, w // 2)) + 300).astype(np.uint16)
+        v = (rng.randint(0, 40, (h, w // 2)) + 600).astype(np.uint16)
+        frames.append([y, u, v])
+    params = EncoderParams(width=w, height=h, pix_fmt="yuv422p10le",
+                           level=3, coder=2, slices=4, gop_size=3,
+                           slicecrc=1)
+    host = FFV1PEncoder(params, experimental=True)
+    ref = [host.encode_frame(f) for f in frames]
+    dev = TPUFFV1PEncoder(params, experimental=True)
+    assert dev.p_bits == 11
+    for fi, f in enumerate(frames):
+        pkt, kf = dev.encode_frames([f])[0]
+        assert pkt == ref[fi][0], f"frame {fi}"
+    dec = FFV1PDecoder(w, h, host.extradata)
+    for fi, (pkt, kf) in enumerate(ref):
+        planes, _ = dec.decode_frame(pkt)
+        for a, b in zip(planes, frames[fi]):
+            assert np.array_equal(np.asarray(a), b), fi

@@ -143,10 +143,12 @@ class FFV1PEncoder:
         self.radius = radius
         self.base = FFV1Encoder(params)
         rp = self.base.rp
-        if rp.bits_per_raw_sample > 8 or rp.colorspace != 0 or \
+        if rp.bits_per_raw_sample > 15 or rp.colorspace != 0 or \
                 rp.fmt.interleaved:
+            # residuals are coded at bits+1 <= 16 through the uint16
+            # slice-plane path (the RGB offset trick, ffv1enc.c:464-467)
             raise NotImplementedError(
-                "FFV1-P currently supports 8-bit planar YUV/gray input")
+                "FFV1-P supports planar YUV/gray input up to 15 bits")
         if rp.ac == T.AC_GOLOMB_RICE:
             raise NotImplementedError("FFV1-P requires the range coder")
         if rp.version < 3:

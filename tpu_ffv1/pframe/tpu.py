@@ -115,10 +115,11 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
             raise ValueError("FFV1-P needs gop_size >= 2")
         super().__init__(params, batch=batch, mesh=mesh)
         rp = self.rp
-        if rp.bits_per_raw_sample > 8 or rp.colorspace != 0 or \
+        if rp.bits_per_raw_sample > 15 or rp.colorspace != 0 or \
                 rp.fmt.interleaved:
             raise NotImplementedError(
-                "TPU FFV1-P currently supports 8-bit planar YUV/gray")
+                "TPU FFV1-P supports planar YUV/gray input up to 15 "
+                "bits (residuals code at bits+1)")
         if rp.ac == T.AC_GOLOMB_RICE:
             raise NotImplementedError("FFV1-P requires the range coder")
         if rp.version < 3 or rp.version > 3:
@@ -310,7 +311,7 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
                 states0 = jnp.full_like(self.states, 128)
                 with phase_timer("tpu-penc", "dispatch-key"):
                     (out, counts, states_out, overflow, packed, low,
-                     rng) = self._frame_fn(
+                     rng, _rowbytes) = self._frame_fn(
                         cur, states0, jnp.asarray(lows),
                         jnp.asarray(ranges), jnp.asarray(prefixes),
                         jnp.asarray(plens))
