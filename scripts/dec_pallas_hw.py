@@ -14,7 +14,7 @@ from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
 
 
 def run_case(W, H, pix_fmt, slices, gop, batch, nframes=4, seed=7,
-             spikes=False):
+             spikes=False, **kw):
     rng = np.random.RandomState(seed)
     from tpu_ffv1.io.rawvideo import frame_shape
     frames = []
@@ -37,7 +37,7 @@ def run_case(W, H, pix_fmt, slices, gop, batch, nframes=4, seed=7,
         frames.append(planes)
     enc = FFV1Encoder(EncoderParams(width=W, height=H, pix_fmt=pix_fmt,
                                     level=3, coder=2, slices=slices,
-                                    gop_size=gop))
+                                    gop_size=gop, **kw))
     pkts = [enc.encode_frame(f)[0] for f in frames]
     dec = TPUFFV1Decoder(W, H, enc.extradata, batch=batch)
     assert dec.use_pallas, "expected the Pallas path on this platform"
@@ -65,6 +65,8 @@ def main():
     ok &= run_case(64, 48, "yuv420p10le", 4, 2, 1, nframes=2)
     ok &= run_case(64, 48, "yuv420p10le", 4, 0, 1, nframes=2,
                    spikes=True)
+    ok &= run_case(48, 32, "yuv420p", 4, 2, 2, nframes=3,
+                   context_model=1)
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 

@@ -84,3 +84,43 @@ def test_pallas_compact_matches_xla_interpret():
         assert np.array_equal(np.asarray(out0)[lane, :c[lane]],
                               np.asarray(out1)[lane, :c[lane]]), f"lane {lane}"
     assert np.array_equal(np.asarray(S0), np.asarray(S1))
+
+
+def test_pallas_decode_five_input_interpret():
+    """Decode kernel, 5-input context model (TT/LL ring row) — pinned
+    against the XLA lane decoder under the TPU interpreter."""
+    from tpu_ffv1.tpu.dec_scan_lanes import rc_decode_planes_lanes
+    from tpu_ffv1.tpu.rc_dec_pallas import rc_decode_planes_pallas
+    from tpu_ffv1 import EncoderParams, FFV1Encoder
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+
+    W2, H2 = 24, 16
+    rng0 = np.random.RandomState(5)
+    frames = [[rng0.randint(0, 256, (H2, W2)).astype(np.uint8),
+               rng0.randint(90, 120, (H2 // 2, W2 // 2)).astype(np.uint8),
+               rng0.randint(140, 180, (H2 // 2, W2 // 2)).astype(np.uint8)]
+              for _ in range(2)]
+    enc = FFV1Encoder(EncoderParams(width=W2, height=H2,
+                                    pix_fmt="yuv420p", level=3, coder=2,
+                                    slices=4, context_model=1))
+    pkts = [enc.encode_frame(f)[0] for f in frames]
+    dec = TPUFFV1Decoder(W2, H2, enc.extradata)
+    dec.use_pallas = True
+
+    class _Inline:
+        """The interpret-mode flag is thread-local; run the decode
+        worker inline instead of on the executor threads."""
+
+        def submit(self, fn, *a, **kw):
+            from concurrent.futures import Future
+            f = Future()
+            f.set_result(fn(*a, **kw))
+            return f
+
+    dec._executor = _Inline()
+    dec._xfer_pool = _Inline()
+    with pltpu.force_tpu_interpret_mode():
+        for fi, pkt in enumerate(pkts):
+            planes, _ = dec.decode_frame(pkt)
+            for a, b in zip(planes, frames[fi]):
+                assert np.array_equal(np.asarray(a), b), fi

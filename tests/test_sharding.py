@@ -107,3 +107,23 @@ def test_dryrun_multichip_entry():
     environment (it self-forces the CPU mesh)."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_mesh_golomb_invariance(ndev):
+    """Golomb-Rice (coder=0) encode sharded over a mesh == host encoder
+    (the VLC scan shard_maps exactly like the range-coder path: slice
+    lanes are independent bitstreams)."""
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+    from tpu_ffv1.tpu.sharding import make_mesh
+
+    params = EncoderParams(width=64, height=32, pix_fmt="yuv420p",
+                           level=3, coder=0, slices=4, slicecrc=1)
+    mesh = make_mesh(ndev)
+    enc = TPUFFV1Encoder(params, batch=2, mesh=mesh)
+    hosts = [FFV1Encoder(params, engine="spec") for _ in range(2)]
+    for t, fr in enumerate(_frames(64, 32, 2)):
+        got = enc.encode_frames([fr, fr])
+        for b in range(2):
+            ref = hosts[b].encode_frame(fr)
+            assert got[b][0] == ref[0], f"ndev={ndev} frame {t} stream {b}"

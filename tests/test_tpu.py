@@ -330,3 +330,60 @@ def test_tpu_pcm_fallback_worst_case():
         out, _ = dec.decode_frame(pkt)
         for a, b in zip(out, f):
             assert np.array_equal(np.asarray(a), b)
+
+
+def test_tpu_golomb_decode():
+    """Device Golomb-Rice decode (coder=0): lane-major VLC/run scan vs
+    host-encoded streams, across a GOP and batched streams
+    (ffv1dec.c:139-170, golomb.h:268-300)."""
+    from tpu_ffv1.codec.encoder import FFV1Encoder
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+
+    W2, H2 = 64, 32
+    rng = np.random.RandomState(6)
+    streams = []
+    for s in range(2):
+        frames = []
+        for t in range(3):
+            y = ((np.add.outer(np.arange(H2), np.arange(W2)) * (s + 2)
+                  + 3 * t) % 256).astype(np.uint8)
+            # flat regions exercise run mode; texture exercises VLC
+            y[H2 // 2:] = rng.randint(0, 256, (H2 // 2, W2))
+            u = np.full((H2 // 2, W2 // 2), 100 + t, np.uint8)
+            v = rng.randint(0, 256, (H2 // 2, W2 // 2)).astype(np.uint8)
+            frames.append([y, u, v])
+        streams.append(frames)
+    params = EncoderParams(width=W2, height=H2, pix_fmt="yuv420p",
+                           level=3, coder=0, slices=4, slicecrc=1,
+                           gop_size=2)
+    encs = [FFV1Encoder(params) for _ in range(2)]
+    pkts = [[encs[s].encode_frame(f)[0] for f in streams[s]]
+            for s in range(2)]
+    dec = TPUFFV1Decoder(W2, H2, encs[0].extradata, batch=2)
+    assert dec.golomb
+    for t in range(3):
+        res = dec.decode_frames([pkts[0][t], pkts[1][t]])
+        for s in range(2):
+            for a, b in zip(res[s][0], streams[s][t]):
+                assert np.array_equal(np.asarray(a), b), (t, s)
+
+
+def test_tpu_golomb_decode_10bit():
+    from tpu_ffv1.codec.encoder import FFV1Encoder
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+
+    W2, H2 = 48, 16
+    rng = np.random.RandomState(8)
+    frames = [[(rng.randint(0, 1024, (H2, W2))).astype(np.uint16),
+               np.full((H2 // 2, W2 // 2), 300, np.uint16),
+               (rng.randint(0, 1024, (H2 // 2, W2 // 2))).astype(np.uint16)]
+              for _ in range(2)]
+    params = EncoderParams(width=W2, height=H2, pix_fmt="yuv420p10le",
+                           level=3, coder=0, slices=4)
+    enc = FFV1Encoder(params)
+    pkts = [enc.encode_frame(f)[0] for f in frames]
+    dec = TPUFFV1Decoder(W2, H2, enc.extradata)
+    for t, pkt in enumerate(pkts):
+        planes, _ = dec.decode_frame(pkt)
+        for a, b in zip(planes, frames[t]):
+            assert np.array_equal(np.asarray(a), b), t

@@ -44,8 +44,7 @@ class TPUFFV1Decoder:
     def __init__(self, width: int, height: int, extradata: bytes,
                  batch: int = 1):
         g = read_extra_header(extradata)
-        if g.ac == T.AC_GOLOMB_RICE:
-            raise NotImplementedError("TPU decode requires the range coder")
+        self.golomb = g.ac == T.AC_GOLOMB_RICE
         if g.colorspace != 0:
             raise NotImplementedError("TPU decode supports planar YUV/gray")
         self.g = g
@@ -93,6 +92,13 @@ class TPUFFV1Decoder:
         import jax as _jax
         self.use_pallas = _jax.devices()[0].platform != "cpu"
 
+        if self.golomb and not self.uniform:
+            raise NotImplementedError(
+                "TPU Golomb-Rice decode requires a uniform slice grid "
+                "and bits <= 10; use the host decoder otherwise")
+        # device VLC states for the Golomb path (drift, error_sum,
+        # bias, count), GOP-persistent like the range-coder states
+        self.vlc_states = None
         # per-stream host state
         self.key_frame_ok = [False] * batch
         self.last_planes = [None] * batch
@@ -170,7 +176,17 @@ class TPUFFV1Decoder:
             except (ValueError, IndexError):
                 self.slice_damaged[bi, si] = True
                 qidx = 0
-            slices.append((buf, qidx, src.low, src.range, src.pos))
+            if self.golomb:
+                # bit reader starts at ac_byte_count after the range-
+                # coded header (+ v3.2 sentinel), ffv1dec.c:427-434
+                if (self.version == 3 and self.g.micro_version > 1) or \
+                        self.version > 3:
+                    sentinel = np.array([129], dtype=np.uint8)
+                    src.get_rac(sentinel, 0)
+                slices.append((buf, qidx, 0, 0,
+                               src.bytes_consumed() - 1))
+            else:
+                slices.append((buf, qidx, src.low, src.range, src.pos))
         return keyframe, slices
 
     def _plane_specs(self):
@@ -244,6 +260,11 @@ class TPUFFV1Decoder:
         qt = self.qts[qidx0]
         five = bool(g.quant_tables[qidx0][3][127])
 
+        if self.golomb:
+            self._submit_golomb(parsed, keyframes, bufs, poss, qidx0,
+                                cc, specs, total_cc, buflens)
+            return
+
         def work():
             # runs on the single-worker executor in submit order, so
             # reading/advancing self.states here keeps the GOP context
@@ -261,12 +282,12 @@ class TPUFFV1Decoder:
                 self.states = jnp.asarray(st)
             states0 = self.states
             db = jnp.asarray(bufs)
-            if self.use_pallas and not five:
+            if self.use_pallas:
                 planes_dev, states_out, low, rng, pos = \
                     rc_decode_planes_pallas(
                         db, states0, self.one_tab, self.zero_tab, qt,
                         jnp.asarray(lows), jnp.asarray(ranges),
-                        jnp.asarray(poss), specs, self.bits)
+                        jnp.asarray(poss), specs, self.bits, five)
             else:
                 planes_dev, states_out, low, rng, pos = \
                     rc_decode_planes_lanes(
@@ -296,10 +317,62 @@ class TPUFFV1Decoder:
                 planes_full.append(x)
             plane_futs = [self._xfer_pool.submit(
                 lambda a=pl: np.asarray(a)) for pl in planes_full]
+            lrp = jnp.stack([low, rng, pos])     # one fetch RPC
             lrp_fut = self._xfer_pool.submit(
-                lambda: (np.asarray(low), np.asarray(rng),
-                         np.asarray(pos)))
+                lambda: tuple(np.asarray(lrp)))
             return dict(plane_futs=plane_futs, lrp_fut=lrp_fut,
+                        keyframes=keyframes, parsed=parsed,
+                        buflens=buflens, specs=specs)
+
+        self._pending.append(self._executor.submit(work))
+
+    def _submit_golomb(self, parsed, keyframes, bufs, poss, qidx0, cc,
+                       specs, total_cc, buflens):
+        """Fused Golomb-Rice decode (coder=0): lane-major VLC/run scan
+        (golomb_dec_lanes.py).  VLC states are device-resident across
+        the GOP; there is no rc sentinel/byte-count check in Golomb
+        mode (ffv1dec.c only validates it for the range coder)."""
+        from .golomb_dec_lanes import golomb_decode_planes_lanes
+        g = self.g
+        qt = self.qts[qidx0]
+        five = bool(g.quant_tables[qidx0][3][127])
+
+        def fresh_vlc():
+            return np.tile(np.array([0, 4, 0, 1], np.int32),
+                           (self.L, total_cc, 1))
+
+        def work():
+            if self.vlc_states is None or \
+                    self.vlc_states.shape[1] != total_cc:
+                self.vlc_states = jnp.asarray(fresh_vlc())
+            if any(keyframes):
+                st = np.array(self.vlc_states)
+                for bi, kf in enumerate(keyframes):
+                    if kf:
+                        st[bi * self.n_slices:(bi + 1) * self.n_slices] \
+                            = np.array([0, 4, 0, 1], np.int32)
+                self.vlc_states = jnp.asarray(st)
+            planes_dev, vlc_out, _bitpos = golomb_decode_planes_lanes(
+                jnp.asarray(bufs), self.vlc_states, qt,
+                jnp.asarray(poss), specs, self.bits, five)
+            self.vlc_states = vlc_out
+            nh, nv = g.num_h_slices, g.num_v_slices
+            planes_full = []
+            for k, (w, h, _sp) in enumerate(specs):
+                x = planes_dev[k].reshape(self.batch, nv, nh, h, w)
+                x = jnp.transpose(x, (0, 1, 3, 2, 4)) \
+                    .reshape(self.batch, nv * h, nh * w)
+                if self.bits <= 8:
+                    x = (x & 0xFF).astype(jnp.uint8)
+                elif self._packed_at_lsb():
+                    x = x.astype(jnp.uint16)
+                else:
+                    x = ((x << (16 - self.bits)) & 0xFFFF) \
+                        .astype(jnp.uint16)
+                planes_full.append(x)
+            plane_futs = [self._xfer_pool.submit(
+                lambda a=pl: np.asarray(a)) for pl in planes_full]
+            return dict(plane_futs=plane_futs, lrp_fut=None,
                         keyframes=keyframes, parsed=parsed,
                         buflens=buflens, specs=specs)
 
@@ -317,9 +390,13 @@ class TPUFFV1Decoder:
         nh, nv = g.num_h_slices, g.num_v_slices
         dt = np.uint8 if self.bits <= 8 else np.uint16
 
-        # sentinel + byte-count validation per lane (ffv1dec.c:459-467)
-        low, rng, pos = p["lrp_fut"].result()
-        for bi, (kf, sl) in enumerate(p["parsed"]):
+        # sentinel + byte-count validation per lane (ffv1dec.c:459-467);
+        # Golomb mode has no terminating sentinel (lrp_fut is None)
+        parsed_iter = enumerate(p["parsed"]) if p["lrp_fut"] is not None \
+            else []
+        if p["lrp_fut"] is not None:
+            low, rng, pos = p["lrp_fut"].result()
+        for bi, (kf, sl) in parsed_iter:
             for si, (buf, *_rest) in enumerate(sl):
                 lane = bi * self.n_slices + si
                 src = RangeDecoder(buf)

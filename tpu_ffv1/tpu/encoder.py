@@ -210,9 +210,6 @@ class TPUFFV1Encoder:
                 raise NotImplementedError(
                     "TPU Golomb-Rice path requires a uniform slice "
                     "grid; use the host engine otherwise")
-            if mesh is not None:
-                raise NotImplementedError(
-                    "mesh sharding is wired for the range-coder path")
             from .golomb_scan import VLC_FRESH, make_flags
             g0 = self.geoms[0]
             dims = [(g0.width, g0.height, 0)]
@@ -311,10 +308,27 @@ class TPUFFV1Encoder:
         ctxs, diffs, acts = self._streams_uniform(streams)
         from .golomb_scan import finalize_bytes, golomb_encode_scan_lanes
         ri0 = jnp.zeros((self.L,), jnp.int32)
-        packed, vlc_out, _ = golomb_encode_scan_lanes(
-            ctxs, diffs, acts, self._gflags, vlc0, ri0, self.bits,
-            self.cc)
-        out, counts = finalize_bytes(packed, prefixes, plens)
+
+        def scanfin(ctxs, diffs, acts, vlc0, ri0, prefixes, plens):
+            packed, vlc_out, _ = golomb_encode_scan_lanes(
+                ctxs, diffs, acts, self._gflags, vlc0, ri0, self.bits,
+                self.cc)
+            out, counts = finalize_bytes(packed, prefixes, plens)
+            return out, counts, vlc_out
+
+        if self.mesh is not None:
+            # slice lanes are independent VLC bitstreams: shard_map with
+            # zero collectives, exactly like the range-coder path
+            from jax.sharding import PartitionSpec as P
+            ax = self.mesh.axis_names[0]
+            lane = P(ax)
+            out, counts, vlc_out = jax.shard_map(
+                scanfin, mesh=self.mesh,
+                in_specs=(lane,) * 7, out_specs=(lane, lane, lane))(
+                ctxs, diffs, acts, vlc0, ri0, prefixes, plens)
+        else:
+            out, counts, vlc_out = scanfin(ctxs, diffs, acts, vlc0,
+                                           ri0, prefixes, plens)
         return out[:, :self.out_cap], counts, vlc_out
 
     def _prefix_arrays(self, keyframe: bool):
@@ -512,7 +526,16 @@ class TPUFFV1Encoder:
             rowbytes = jnp.where(offs[:, None] == 0, 0, gathered)
         else:
             rowbytes = jnp.zeros((0, self.L), jnp.int32)
-        return out[:, :self.out_cap], counts, states_out, overflow, \
+        # pack per-lane count (4 LE bytes) + overflow flag ahead of the
+        # payload bytes so ONE speculative slab fetch returns everything
+        # the host needs — each device->host read is a full RPC round
+        # trip on remote backends, and the previous counts + 4-way
+        # payload fetches cost more latency than the payload itself
+        head = jnp.stack(
+            [(counts >> sh) & 0xFF for sh in (0, 8, 16, 24)] +
+            [overflow.astype(jnp.int32)], axis=1).astype(jnp.uint8)
+        out2 = jnp.concatenate([head, out[:, :self.out_cap]], axis=1)
+        return out2, counts, states_out, overflow, \
             packed, low, rng, rowbytes
 
     def _scan_finalize(self, ctxs, diffs, acts, states0, lows, ranges,
@@ -646,25 +669,17 @@ class TPUFFV1Encoder:
 
         if self.fast or self.ext:
             def upload():
-                # planes are stacked over the batch and split into
-                # ~3 MB row bands issued concurrently — the tunnel to
-                # remote backends multiplexes parallel transfer RPCs
+                # one transfer RPC per plane, issued concurrently (each
+                # host->device copy is a full round trip on remote
+                # backends; fewer, larger transfers beat the old ~3 MB
+                # chunking now that the link itself is fast)
                 nplanes = len(streams_np[0])
-                plane_futs = []
-                for k in range(nplanes):
-                    stack = np.stack([s[k] for s in streams_np])
-                    w = stack.shape[-1]
-                    flat = stack.reshape(-1, w)
-                    nch = max(1, min(4, flat.nbytes // (3 << 20)))
-                    bounds = np.linspace(0, flat.shape[0],
-                                         nch + 1).astype(int)
-                    plane_futs.append([
-                        self._upchunk_pool.submit(
-                            lambda a: jnp.asarray(a).block_until_ready(),
-                            flat[a:b])
-                        for a, b in zip(bounds[:-1], bounds[1:])])
-                return tuple(tuple(f.result() for f in fl)
-                             for fl in plane_futs)
+                futs = [self._upchunk_pool.submit(
+                    lambda k=k: jnp.asarray(
+                        np.stack([s[k] for s in streams_np]))
+                    .block_until_ready())
+                    for k in range(nplanes)]
+                return tuple(f.result() for f in futs)
 
             up_fut = self._upload_pool.submit(upload)
 
@@ -683,40 +698,28 @@ class TPUFFV1Encoder:
                         jnp.asarray(ranges), jnp.asarray(prefixes),
                         jnp.asarray(plens))
                 self.states = states_out
-                # issue the result transfers NOW, before the next
+                # issue the result transfer NOW, before the next
                 # frame's scan is enqueued: device ops run in order, so
                 # a fetch submitted at collect time would wait behind
-                # every queued scan (measured: payload fetches ballooned
-                # to ~1.2 s behind two in-flight frames).  Enqueued
-                # here, the DMA lands right after this frame's ops and
-                # overlaps the next scan's compute.
+                # every queued scan.  ONE slab RPC carries counts +
+                # overflow (the 5-byte head packed by the pipeline) +
+                # the speculative payload width — every extra
+                # device->host read is a full round trip on remote
+                # backends, and the previous counts + 4-way payload
+                # fetches cost more latency than the payload bytes.
                 spec = min(self._last_cap, self.out_cap)
-                nb = 4
-                bounds = np.linspace(0, self.L, nb + 1).astype(int)
-
-                def fetch(lo, hi, c0, c1):
-                    return np.asarray(out[lo:hi, c0:c1])
-
-                counts_fut = self._xfer_pool.submit(
-                    lambda: np.asarray(counts))
+                slab_fut = self._xfer_pool.submit(
+                    lambda: np.asarray(out[:, :5 + spec]))
                 rowbytes_fut = (self._xfer_pool.submit(
                     lambda: np.asarray(rowbytes))
                     if rowbytes.shape[0] else None)
-                spec_futs = None
-                if spec:
-                    spec_futs = [
-                        self._xfer_pool.submit(fetch, a, b, 0, spec)
-                        for a, b in zip(bounds[:-1], bounds[1:])
-                        if a < b]
                 return dict(
                     out=out, counts=counts, overflow=overflow,
                     packed=packed, low=low, rng=rng, keyframe=keyframe,
                     streams=streams, states0=states0, lows=lows,
                     ranges=ranges, prefixes=prefixes, plens=plens,
-                    streams_np=streams_np, counts_fut=counts_fut,
-                    rowbytes_fut=rowbytes_fut,
-                    spec_futs=spec_futs, spec=spec, bounds=bounds,
-                    fetch=fetch)
+                    streams_np=streams_np, slab_fut=slab_fut,
+                    rowbytes_fut=rowbytes_fut, spec=spec)
 
             self._pending.append(self._executor.submit(work))
             self.picture_number += 1
@@ -801,49 +804,37 @@ class TPUFFV1Encoder:
                         for li in range(self.L)]
         else:
             out, counts = p["out"], p["counts"]
-            if bool(np.asarray(p["overflow"]).any()):
-                # rare: some pixel emitted > 4 bytes.  The Pallas compact
-                # form has already dropped slots past the 4th, so redo the
-                # frame on the XLA scan path (raw slots retained) and
-                # finalize at full slot width.
+            spec = p["spec"]
+            redone = None
+            with phase_timer("tpu-enc", "slab-fetch"):
+                slab = p["slab_fut"].result()       # (L, 5 + spec)
+            counts_np = (slab[:, 0].astype(np.int64) |
+                         (slab[:, 1].astype(np.int64) << 8) |
+                         (slab[:, 2].astype(np.int64) << 16) |
+                         (slab[:, 3].astype(np.int64) << 24))
+            if bool((slab[:, 4] != 0).any()):
+                # rare: some pixel emitted > 4 bytes (or a 16-px group
+                # > 24).  The Pallas compact form has already dropped
+                # slots, so redo the frame on the XLA scan path (raw
+                # slots retained) and finalize at full slot width.
                 packed, low, rng = p["packed"], p["low"], p["rng"]
                 if self.use_pallas and self.pallas_compact:
-                    (out, counts, states_out, ovf2, packed, low,
+                    (out2h, counts, states_out, ovf2, packed, low,
                      rng, _rb) = self._frame_fn(
                         p["streams"], p["states0"],
                         jnp.asarray(p["lows"]), jnp.asarray(p["ranges"]),
                         jnp.asarray(p["prefixes"]),
                         jnp.asarray(p["plens"]), use_pallas=False)
+                    redone = out2h[:, 5:]           # strip the head
+                    ovf_any = bool(np.asarray(ovf2).any())
                 else:
-                    ovf2 = p["overflow"]
-                if bool(np.asarray(ovf2).any()):
-                    out, counts = finalize_packed_full(
+                    ovf_any = True
+                if ovf_any:
+                    redone, counts = finalize_packed_full(
                         packed, low, rng, jnp.asarray(p["prefixes"]),
                         jnp.asarray(p["plens"]))
-                    out = out[:, :self.out_cap]
-                # the pre-issued transfers refer to the ORIGINAL out
-                # buffer; invalidate them for the redone frame
-                p["spec_futs"] = None
-                p["spec"] = 0
-                p["counts_fut"] = self._xfer_pool.submit(
-                    lambda c=counts: np.asarray(c))
-                out_redone = out
-
-                def fetch_redo(lo, hi, c0, c1):
-                    return np.asarray(out_redone[lo:hi, c0:c1])
-
-                p["fetch"] = fetch_redo
-            # the counts + speculative payload transfers were issued by
-            # the worker right after dispatch (see submit_frames) so
-            # they precede the next frame's scan in the device queue;
-            # frame sizes are stable across a stream, so the
-            # previous-frame width usually covers the whole payload
-            spec = p["spec"]
-            bounds = p["bounds"]
-            fetch = p["fetch"]
-            spec_futs = p["spec_futs"]
-            with phase_timer("tpu-enc", "counts-fetch"):
-                counts_np = np.array(p["counts_fut"].result())
+                    redone = redone[:, :self.out_cap]
+                counts_np = np.asarray(counts).astype(np.int64)
             pcm_lanes = []
             if p.get("rowbytes_fut") is not None:
                 # reference budget check per coded line (the
@@ -888,25 +879,15 @@ class TPUFFV1Encoder:
                     counts_np[li] = 0      # fetched below, then replaced
             cap2 = min(self.out_cap,
                        (int(counts_np.max()) + 511) // 512 * 512)
-            self._last_cap = min(self.out_cap, cap2 + 2048)
+            self._last_cap = min(self.out_cap, cap2 + 4096)
             with phase_timer("tpu-enc", "payload-fetch"):
-                if spec_futs is not None and spec >= cap2:
-                    out_np = np.concatenate(
-                        [f.result() for f in spec_futs], axis=0)[:, :cap2]
-                elif spec_futs is not None:
-                    tail_futs = [self._xfer_pool.submit(fetch, a, b, spec,
-                                                        cap2)
-                                 for a, b in zip(bounds[:-1], bounds[1:])
-                                 if a < b]
-                    out_np = np.concatenate(
-                        [np.concatenate([h.result(), t.result()], axis=1)
-                         for h, t in zip(spec_futs, tail_futs)], axis=0)
+                if redone is not None:
+                    out_np = np.asarray(redone[:, :cap2])
+                elif spec >= cap2:
+                    out_np = slab[:, 5:5 + cap2]
                 else:
-                    futs = [self._xfer_pool.submit(fetch, a, b, 0, cap2)
-                            for a, b in zip(bounds[:-1], bounds[1:])
-                            if a < b]
-                    out_np = np.concatenate([f.result() for f in futs],
-                                            axis=0)
+                    tail = np.asarray(out[:, 5 + spec:5 + cap2])
+                    out_np = np.concatenate([slab[:, 5:], tail], axis=1)
             payloads = [bytes(out_np[li, :counts_np[li]])
                         for li in range(self.L)]
             for li in pcm_lanes:

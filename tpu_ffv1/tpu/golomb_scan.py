@@ -228,7 +228,9 @@ def golomb_encode_scan_lanes(ctx, diff, active, flags, vlc0, run_index0,
         return (st, run_index, run_mode, run_count, bitbuf, bitcnt), \
             jnp.stack(slots, 0)               # (9, L)
 
-    rm0 = jnp.zeros((L,), jnp.int32)
+    # derive from an operand so the carry is 'varying' under shard_map
+    # (a literal zeros carry trips the scan-vma type check)
+    rm0 = jnp.zeros_like(run_index0)
     (st, run_index, _, _, _, _), packed = jax.lax.scan(
         step, (S0, run_index0, rm0, rm0, rm0, rm0),
         (ctx.T, diff.T, active.T,

@@ -23,11 +23,11 @@ Key structures (per-lane, resident across the plane):
     catch-up burst behind a 48-byte low-water check (> 2 pixels'
     worst case of 2*e_max+3 <= 21 renorm bytes each at 10 bits).  In-window byte reads are a word-row one-hot
     reduction + per-lane subword shift.
-  * reconstruction row: ONE (Wpad+8, L) int32 buffer — the previous
-    row is read per 8-pixel group BEFORE the current row overwrites it
-    (3-input context model only; the 5-input model needs the TT row
-    and falls back to the XLA scan).  The right-edge RT clamp
-    (ffv1dec.c:202-203) is realized by replicating the last real
+  * reconstruction rows: the previous row is read per 8-pixel group
+    BEFORE the current row overwrites it; the 5-input context model
+    keeps a second ring row (y-2) for the TT neighbor, shifted at
+    group granularity (3-row ring, ffv1enc.c:377).  The right-edge RT
+    clamp (ffv1dec.c:202-203) is realized by replicating the last real
     sample into the row padding.
   * table lookups (quant tables, state transitions): arithmetic
     binary-select trees over (256, 1) VMEM tables, as in the encode
@@ -53,12 +53,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(bits, L, w, h, Wpad, capw, pbase,
-            bufs_ref, t1_ref, qt0_ref, qt1_ref, qt2_ref, states0_ref,
+def _kernel(bits, L, w, h, Wpad, capw, pbase, five,
+            bufs_ref, t1_ref, qt0_ref, qt1_ref, qt2_ref, qt3_ref,
+            qt4_ref, states0_ref,
             low0_ref, rng0_ref, pos0_ref,
             out_ref, lowout_ref, rngout_ref, posout_ref, statesout_ref,
-            states, rowbuf, lows, rngs, poss, win, fills, plft_ref,
-            ctxv, minf):
+            states, rowbuf, rowbuf2, lows, rngs, poss, win, fills,
+            plft_ref, ctxv, minf):
     y = pl.program_id(0)
     e_max = bits - 1
     mask_v = (1 << bits) - 1
@@ -133,6 +134,7 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
             feed_block(pos0_ref[...])
         plft_ref[...] = jnp.zeros((1, L), jnp.int32)
         rowbuf[...] = jnp.zeros((Wpad + 16, L), jnp.int32)
+        rowbuf2[...] = jnp.zeros((Wpad + 16, L), jnp.int32)
 
     # row borders (ffv1dec.c:202-203): cur[-1] = prev row's [0];
     # prev[-1] = two-rows-ago [0] (carried scalar row)
@@ -148,10 +150,16 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
         return iota32s == ridx
 
     def group(gi, carry):
-        low, rng, pos, vprev, tprev = carry
+        low, rng, pos, vprev, tprev, vprev2 = carry
         x8 = pl.multiple_of(gi * 8, 8)
         prev16 = jnp.concatenate(
             [rowbuf[pl.ds(x8, 8), :], rowbuf[pl.ds(x8 + 8, 8), :]], 0)
+        if five:
+            # 3-row ring (ffv1enc.c:377): rowbuf2 holds y-2; the y-1
+            # values shift into it before the current row overwrites
+            # rowbuf (group granularity)
+            tt8 = rowbuf2[pl.ds(x8, 8), :]
+            rowbuf2[pl.ds(x8, 8), :] = rowbuf[pl.ds(x8, 8), :]
         decoded = []
 
         for px in range(8):
@@ -181,6 +189,11 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
             ctx = (tree(qt0_ref, (Lv - LT) & 0xFF) +
                    tree(qt1_ref, (LT - T) & 0xFF) +
                    tree(qt2_ref, (T - RT) & 0xFF))
+            if five:
+                TT = tt8[px:px + 1, :]
+                LLv = vprev2
+                ctx = ctx + tree(qt3_ref, (LLv - Lv) & 0xFF) + \
+                    tree(qt4_ref, (TT - T) & 0xFF)
             csign = ctx < 0
             ctx = jnp.where(csign, -ctx, ctx)
             # clamp so damaged streams can't address out of the padded
@@ -312,15 +325,17 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
             val = (pred + diff) & mask_v
             val = jnp.where(ones, val, vprev)   # pad: replicate last
             decoded.append(val)
+            vprev2 = jnp.where(ones, Lv, vprev2)
             vprev = val
             tprev = jnp.where(ones, T, tprev)
 
         rowbuf[pl.ds(x8, 8), :] = jnp.concatenate(decoded, 0)
         out_ref[0, pl.ds(x8, 8), :] = jnp.concatenate(decoded, 0)
-        return (low, rng, pos, vprev, tprev)
+        return (low, rng, pos, vprev, tprev, vprev2)
 
-    low, rng, pos, vlast, _ = jax.lax.fori_loop(
-        0, ngroups, group, (low0v, rng0v, pos0v, cl, plft))
+    ll0 = jnp.zeros((1, L), jnp.int32)   # LL border: 0 at x=0, cl at x=1
+    low, rng, pos, vlast, _, _ = jax.lax.fori_loop(
+        0, ngroups, group, (low0v, rng0v, pos0v, cl, plft, ll0))
     # replicate the last real sample once more past Wpad so RT at
     # x = w-1 reads it on the next row even when w % 8 == 0
     rowbuf[pl.ds(Wpad, 8), :] = jnp.broadcast_to(vlast, (8, L))
@@ -336,15 +351,16 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase,
         statesout_ref[...] = states[...]
 
 
-def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2,
-                    low, rng, pos, w, h, pbase, bits, L, CC):
+def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2, qt3, qt4,
+                    low, rng, pos, w, h, pbase, bits, L, CC, five):
     Wpad = -(-w // 8) * 8
     capw = bufw.shape[0]
-    kernel = functools.partial(_kernel, bits, L, w, h, Wpad, capw, pbase)
+    kernel = functools.partial(_kernel, bits, L, w, h, Wpad, capw, pbase,
+                               five)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(h,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
         out_specs=[
             pl.BlockSpec((1, Wpad, L), lambda y: (y, 0, 0),
                          memory_space=pltpu.VMEM),   # plane rows
@@ -356,6 +372,7 @@ def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2,
         scratch_shapes=[
             pltpu.VMEM((L, CC, 128), jnp.int8),      # states
             pltpu.VMEM((Wpad + 16, L), jnp.int32),   # row buffer
+            pltpu.VMEM((Wpad + 16, L), jnp.int32),   # y-2 row (5-input)
             pltpu.VMEM((1, L), jnp.int32),           # low
             pltpu.VMEM((1, L), jnp.int32),           # range
             pltpu.VMEM((1, L), jnp.int32),           # pos
@@ -377,17 +394,19 @@ def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2,
             jax.ShapeDtypeStruct((1, L), jnp.int32),
             jax.ShapeDtypeStruct((L, CC, 128), jnp.int8),
         ],
-    )(bufw, t1, qt0, qt1, qt2, states_pad, low, rng, pos)
+    )(bufw, t1, qt0, qt1, qt2, qt3, qt4, states_pad, low, rng, pos)
 
 
-@functools.partial(jax.jit, static_argnames=("plane_specs", "bits"))
+@functools.partial(jax.jit,
+                    static_argnames=("plane_specs", "bits", "five"))
 def rc_decode_planes_pallas(bufs, states, one_tab, zero_tab, qt,
                             low0, range0, pos0, plane_specs: tuple,
-                            bits: int):
+                            bits: int, five: bool = False):
     """Decode all planes of L parallel slice streams (Pallas kernel).
 
-    Same contract as dec_scan_lanes.rc_decode_planes_lanes, 3-input
-    context model only.  bufs: uint8[L, cap] (cap padded to 4);
+    Same contract as dec_scan_lanes.rc_decode_planes_lanes; ``five``
+    selects the 5-input context model (TT/LL neighbors via a second
+    ring row).  bufs: uint8[L, cap] (cap padded to 4);
     states: uint8[L, CC_total, 32].
     """
     L, CC_real = states.shape[0], states.shape[1]
@@ -409,6 +428,8 @@ def rc_decode_planes_pallas(bufs, states, one_tab, zero_tab, qt,
     qt0 = qt[0][:, None]
     qt1 = qt[1][:, None]
     qt2 = qt[2][:, None]
+    qt3 = qt[3][:, None]
+    qt4 = qt[4][:, None]
 
     low = low0[None, :].astype(jnp.int32)
     rng = range0[None, :].astype(jnp.int32)
@@ -417,8 +438,8 @@ def rc_decode_planes_pallas(bufs, states, one_tab, zero_tab, qt,
     sp = states_pad
     for (w, h, pbase) in plane_specs:
         out, low, rng, pos, sp = _dec_plane_call(
-            bufw, sp, t1, qt0, qt1, qt2, low, rng, pos,
-            w, h, pbase, bits, L, CC)
+            bufw, sp, t1, qt0, qt1, qt2, qt3, qt4, low, rng, pos,
+            w, h, pbase, bits, L, CC, five)
         planes.append(jnp.moveaxis(out[:, :w, :], 2, 0))   # (L, h, w)
     states_out = sp[:, :CC_real, :32].astype(jnp.uint8)
     return tuple(planes), states_out, low[0], rng[0], pos[0]
