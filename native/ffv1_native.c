@@ -864,3 +864,46 @@ API void ffv1n_find_best_state(const uint8_t *one_state,
         }
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* Segment-copy compaction for the TPU encoder's host-compact finalize
+ * (tpu/rc_scan_lanes.py finalize_packed_hostcompact).  The device
+ * emits, per lane, carry-resolved byte sections [prefix pcap | group
+ * slots NG*C | tail 3] plus per-group valid counts; this walks the
+ * segments and memcpy-packs the valid bytes — the host-side
+ * replacement for the device sort network.  Copies exactly `count`
+ * bytes per lane (the last provisional byte never flushes, so the
+ * caller passes total-1). */
+API void ffv1n_compact_groups(
+    const uint8_t *resolved,    /* L x rstride: [prefix|data|tail]    */
+    int64_t rstride,
+    const uint8_t *gcounts,     /* L x ng: valid bytes per group      */
+    int64_t gstride,
+    const int32_t *plens,       /* per-lane prefix byte counts        */
+    const int64_t *counts,      /* per-lane total output bytes        */
+    int32_t lanes, int32_t pcap, int32_t ng, int32_t groupc,
+    uint8_t *out, int64_t ostride)
+{
+    for (int32_t l = 0; l < lanes; l++) {
+        const uint8_t *src = resolved + (int64_t)l * rstride;
+        const uint8_t *gc  = gcounts + (int64_t)l * gstride;
+        uint8_t *dst = out + (int64_t)l * ostride;
+        int64_t want = counts[l];
+        int64_t off = 0;
+        int32_t pl = plens[l];
+        if (pl > want) pl = (int32_t)want;
+        memcpy(dst, src, pl);
+        off = pl;
+        const uint8_t *data = src + pcap;
+        for (int32_t g = 0; g < ng && off < want; g++) {
+            int32_t n = gc[g];
+            if (n > groupc) n = groupc;
+            if (off + n > want) n = (int32_t)(want - off);
+            memcpy(dst + off, data + (int64_t)g * groupc, n);
+            off += n;
+        }
+        const uint8_t *tail = src + pcap + (int64_t)ng * groupc;
+        for (int32_t t = 0; t < 3 && off < want; t++)
+            dst[off++] = tail[t];
+    }
+}

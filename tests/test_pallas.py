@@ -59,7 +59,15 @@ def test_pallas_compact_matches_xla_interpret():
     rng0 = np.random.RandomState(7)
     L, N = 3, 512
     ctx = jnp.asarray(rng0.randint(0, CC, (L, N)), jnp.int32)
-    diff = jnp.asarray(rng0.randint(-120, 120, (L, N)), jnp.int32)
+    # codec-realistic residuals: mostly small, ~6% large.  Uniform
+    # [-120, 120) noise emits >24 bytes per 16-pixel group, which now
+    # (correctly) raises the finalize overflow flag and diverts the
+    # frame to the full-width fallback — that path has its own test;
+    # this one pins the compacted fast path.
+    diff_np = rng0.randint(-6, 7, (L, N))
+    big = rng0.rand(L, N) < 0.06
+    diff_np = np.where(big, rng0.randint(-120, 120, (L, N)), diff_np)
+    diff = jnp.asarray(diff_np, jnp.int32)
     act = jnp.asarray(rng0.rand(L, N) < 0.9)
     states = jnp.full((L, CC, 32), 128, jnp.uint8)
     lows = jnp.zeros(L, jnp.int32)
@@ -77,7 +85,10 @@ def test_pallas_compact_matches_xla_interpret():
     packed = jnp.moveaxis(p0 + (v0.astype(jnp.int32) << 20), 1, 2)
     out0, cnt0, ovf0 = finalize_packed(packed, l0, r0, prefix, plen)
 
-    assert not np.asarray(ovf0).any() and not np.asarray(ovf1).any()
+    # both paths must agree on the overflow verdict, and the fixture is
+    # chosen to exercise the no-overflow fast path
+    assert np.array_equal(np.asarray(ovf0), np.asarray(ovf1))
+    assert not np.asarray(ovf0).any()
     assert np.array_equal(np.asarray(cnt0), np.asarray(cnt1))
     c = np.asarray(cnt0)
     for lane in range(L):

@@ -387,3 +387,25 @@ def test_tpu_golomb_decode_10bit():
         planes, _ = dec.decode_frame(pkt)
         for a, b in zip(planes, frames[t]):
             assert np.array_equal(np.asarray(a), b), t
+
+
+def test_tpu_hostcompact_finalize_byte_exact():
+    """Opt-in host-compact finalize (device carry resolution + C
+    segment-copy concatenation, FFV1_TPU_HOSTCOMPACT=1) must produce
+    the same bytes as the device-sort finalize."""
+    from tpu_ffv1 import native
+    if not native.available():
+        pytest.skip("native tier not built")
+    B = 2
+    streams = [_frames(8, seed=30 + b) for b in range(B)]
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv420p", level=3,
+                           coder=2, slices=4, gop_size=2)
+    tpu = TPUFFV1Encoder(params, batch=B)
+    tpu.host_compact = True      # as FFV1_TPU_HOSTCOMPACT=1 would
+    specs = [FFV1Encoder(params) for _ in range(B)]
+    for t in range(3):
+        results = tpu.encode_frames([streams[b][t] for b in range(B)])
+        for b in range(B):
+            sp, sk = specs[b].encode_frame(streams[b][t])
+            tp, tk = results[b]
+            assert sk == tk and sp == tp, f"stream {b} frame {t}"

@@ -44,6 +44,9 @@ def get_lib():
         p, p, p, i32, i32, i32, i64, i32, i32, i32,
         p, p, p, p, p, p, p, p, p, p, p, i32, i32, i32, i32,
         p, p, p, i64, p, i64, p]
+    lib.ffv1n_compact_groups.restype = None
+    lib.ffv1n_compact_groups.argtypes = [
+        p, i64, p, i64, p, p, i32, i32, i32, i32, p, i64]
     lib.ffv1n_decode_rgb.restype = i64
     lib.ffv1n_decode_rgb.argtypes = [
         p, p, p, i32, i32, i32, i64, i32, i32,
@@ -51,6 +54,32 @@ def get_lib():
         p, p, p, i64, p]
     _lib = lib
     return lib
+
+
+def compact_groups(resolved: np.ndarray, gcounts: np.ndarray,
+                   plens: np.ndarray, counts: np.ndarray,
+                   pcap: int, groupc: int) -> np.ndarray:
+    """Segment-copy compaction of the device's host-compact finalize
+    slab (see native ffv1n_compact_groups).  resolved: uint8 (L, T)
+    C-contiguous; gcounts: uint8 (L, NG); returns uint8 (L, max_count)
+    with counts[l] valid bytes per lane."""
+    lib = get_lib()
+    L, T = resolved.shape
+    ng = gcounts.shape[1]
+    counts64 = np.ascontiguousarray(counts, np.int64)
+    plens32 = np.ascontiguousarray(plens, np.int32)
+    resolved = np.ascontiguousarray(resolved)
+    gcounts = np.ascontiguousarray(gcounts)
+    cap = int(counts64.max()) if L else 0
+    out = np.empty((L, max(cap, 1)), np.uint8)
+    lib.ffv1n_compact_groups(
+        resolved.ctypes.data_as(ct.c_void_p), resolved.strides[0],
+        gcounts.ctypes.data_as(ct.c_void_p), gcounts.strides[0],
+        plens32.ctypes.data_as(ct.c_void_p),
+        counts64.ctypes.data_as(ct.c_void_p),
+        L, pcap, ng, groupc,
+        out.ctypes.data_as(ct.c_void_p), out.strides[0])
+    return out
 
 
 def available() -> bool:

@@ -275,10 +275,16 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
         out, counts, states_out, overflow, packed, low, rng = \
             self._scan_finalize(ctxs, diffs, acts, states0, lows,
                                 ranges, prefixes, plens, use_pallas,
-                                bits=self.p_bits)
+                                bits=self.p_bits, hostcompact=False)
         # inter blocks update the MV predictor field (codec.py:262)
         new_prev = jnp.where(intra[..., None], prev_mvs, mvs)
-        return (out[:, :self.p_out_cap], counts, states_out, overflow,
+        # slab head (count + overflow), matching the parent collect's
+        # single-RPC fetch protocol (tpu/encoder.py)
+        head = jnp.stack(
+            [(counts >> sh) & 0xFF for sh in (0, 8, 16, 24)] +
+            [overflow.astype(jnp.int32)], axis=1).astype(jnp.uint8)
+        out2 = jnp.concatenate([head, out[:, :self.p_out_cap]], axis=1)
+        return (out2, counts, states_out, overflow,
                 packed, low, rng, new_prev)
 
     # -----------------------------------------------------------------
@@ -334,28 +340,21 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
             self.states = states_out
             self.ref_dev = cur
             cap = self.out_cap if keyframe else self.p_out_cap
-            spec = min(self._last_cap, cap)
-            nb = 4
-            bounds = np.linspace(0, self.L, nb + 1).astype(int)
-
-            def fetch(lo, hi, c0, c1):
-                return np.asarray(out[lo:hi, c0:c1])
-
-            counts_fut = self._xfer_pool.submit(
-                lambda: np.asarray(counts))
-            spec_futs = None
-            if spec:
-                spec_futs = [
-                    self._xfer_pool.submit(fetch, a, b, 0, spec)
-                    for a, b in zip(bounds[:-1], bounds[1:]) if a < b]
+            if keyframe and self.host_compact:
+                spec = -1
+                slab_fut = self._xfer_pool.submit(
+                    lambda: np.asarray(out))
+            else:
+                spec = min(self._last_cap, cap)
+                slab_fut = self._xfer_pool.submit(
+                    lambda: np.asarray(out[:, :5 + spec]))
             return dict(
                 out=out, counts=counts, overflow=overflow,
                 packed=packed, low=low, rng=rng, keyframe=keyframe,
                 streams=None, states0=states0, lows=lows,
                 ranges=ranges, prefixes=prefixes, plens=plens,
-                streams_np=streams_np, counts_fut=counts_fut,
-                spec_futs=spec_futs, spec=spec, bounds=bounds,
-                fetch=fetch, out_cap=cap)
+                streams_np=streams_np, slab_fut=slab_fut,
+                spec=spec, out_cap=cap)
 
         self._pending.append(self._executor.submit(work))
         self.picture_number += 1

@@ -21,6 +21,8 @@ hence against the reference binary.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,6 +41,7 @@ from .residual import (load_plane, quant_spec, rct_transform,
 from .rc_scan import finalize_slice, rc_encode_scan
 from .rc_scan_lanes import (finalize_compact, finalize_packed,
                             finalize_packed_full,
+                            finalize_packed_hostcompact,
                             rc_encode_scan_lanes_unrolled)
 from .rc_pallas import rc_encode_pallas_compact, rc_encode_pallas_packed
 
@@ -195,6 +198,21 @@ class TPUFFV1Encoder:
         # the range coder, (12 + bits)/8 for the Golomb escape path)
         self.out_cap = self.n_max * (4 if self.golomb or self.bits > 10
                                      else 3) + 4096
+        # host-compact finalize: carry-resolve on device, segment-copy
+        # concatenation in C on the host (native.compact_groups) —
+        # replaces the device sort network (~60 ms of the batch-4
+        # dispatch).  OPT-IN (FFV1_TPU_HOSTCOMPACT=1): the uncompacted
+        # slab is ~1.6x the sorted payload and on download-constrained
+        # links (the axon tunnel moves ~25 MB/s device->host) the extra
+        # bytes cost far more than the sort they save; on a locally
+        # attached chip the trade flips.  Mesh paths keep the device
+        # sort (outputs must stay sharded); bits > 10 uses the s2=6
+        # sort finalize.
+        from .. import native as _native
+        self.host_compact = (mesh is None and not self.golomb and
+                             self.fast and _native.available() and
+                             os.environ.get("FFV1_TPU_HOSTCOMPACT") == "1")
+        self.finalize_ng = self.n_max // 16
         # whole-frame fused pipeline (one dispatch per frame — critical
         # under remote/eager backends where each op is a round trip)
         self._frame_fn = (jax.jit(self._frame_pipeline,
@@ -324,7 +342,8 @@ class TPUFFV1Encoder:
             lane = P(ax)
             out, counts, vlc_out = jax.shard_map(
                 scanfin, mesh=self.mesh,
-                in_specs=(lane,) * 7, out_specs=(lane, lane, lane))(
+                in_specs=(lane,) * 7, out_specs=(lane, lane, lane),
+                check_vma=False)(
                 ctxs, diffs, acts, vlc0, ri0, prefixes, plens)
         else:
             out, counts, vlc_out = scanfin(ctxs, diffs, acts, vlc0,
@@ -531,20 +550,27 @@ class TPUFFV1Encoder:
         # the host needs — each device->host read is a full RPC round
         # trip on remote backends, and the previous counts + 4-way
         # payload fetches cost more latency than the payload itself
-        head = jnp.stack(
-            [(counts >> sh) & 0xFF for sh in (0, 8, 16, 24)] +
-            [overflow.astype(jnp.int32)], axis=1).astype(jnp.uint8)
-        out2 = jnp.concatenate([head, out[:, :self.out_cap]], axis=1)
+        if self.host_compact:
+            out2 = out              # hostcompact slab carries its head
+        else:
+            head = jnp.stack(
+                [(counts >> sh) & 0xFF for sh in (0, 8, 16, 24)] +
+                [overflow.astype(jnp.int32)], axis=1).astype(jnp.uint8)
+            out2 = jnp.concatenate([head, out[:, :self.out_cap]], axis=1)
         return out2, counts, states_out, overflow, \
             packed, low, rng, rowbytes
 
     def _scan_finalize(self, ctxs, diffs, acts, states0, lows, ranges,
-                       prefixes, plens, use_pallas=True, bits=None):
+                       prefixes, plens, use_pallas=True, bits=None,
+                       hostcompact=None):
         """Lane scan + finalize, optionally shard_mapped over the mesh.
         Shared by the intra pipeline and the P-frame pipeline
         (pframe/tpu.py, which codes at bits + 1 — the ``bits``
         override)."""
         bits = self.bits if bits is None else bits
+        if hostcompact is None:
+            hostcompact = self.host_compact and bits <= 10 and \
+                self.mesh is None
         # carry resolution runs over the uncompacted slot stream
         # (invalid slots are neutral propagators), per-pixel slot
         # compaction happens in-kernel (Pallas) or via masked reductions
@@ -584,8 +610,12 @@ class TPUFFV1Encoder:
                     ctxs, diffs, acts, states0, self.one_tab,
                     self.zero_tab, lows, ranges, bits,
                     self.pallas_chunk)
-                out, counts, overflow = finalize_packed(packed, low, rng,
-                                                        prefixes, plens)
+                if hostcompact:
+                    out, counts, overflow = finalize_packed_hostcompact(
+                        packed, low, rng, prefixes, plens)
+                else:
+                    out, counts, overflow = finalize_packed(
+                        packed, low, rng, prefixes, plens)
             else:
                 prov, valid, low, rng, states_out = \
                     rc_encode_scan_lanes_unrolled(
@@ -594,8 +624,12 @@ class TPUFFV1Encoder:
                         self.unroll)
                 packed = jnp.moveaxis(
                     prov + (valid.astype(jnp.int32) << 20), 1, 2)
-                out, counts, overflow = finalize_packed(packed, low, rng,
-                                                        prefixes, plens)
+                if hostcompact:
+                    out, counts, overflow = finalize_packed_hostcompact(
+                        packed, low, rng, prefixes, plens)
+                else:
+                    out, counts, overflow = finalize_packed(
+                        packed, low, rng, prefixes, plens)
             return out, counts, states_out, overflow, packed, low, rng
 
         if self.mesh is not None:
@@ -607,7 +641,11 @@ class TPUFFV1Encoder:
                     scanfin, mesh=self.mesh,
                     in_specs=(lane,) * 3 + (lane,) * 5,
                     out_specs=(lane, lane, lane, lane,
-                               P(None, None, ax), lane, lane))(
+                               P(None, None, ax), lane, lane),
+                    # Pallas out_shapes carry no vma metadata; the
+                    # outputs are plainly lane-sharded (zero
+                    # collectives), so the vma lint is safely off
+                    check_vma=False)(
                     ctxs, diffs, acts, states0, lows, ranges,
                     prefixes, plens)
         else:
@@ -707,9 +745,14 @@ class TPUFFV1Encoder:
                 # device->host read is a full round trip on remote
                 # backends, and the previous counts + 4-way payload
                 # fetches cost more latency than the payload bytes.
-                spec = min(self._last_cap, self.out_cap)
-                slab_fut = self._xfer_pool.submit(
-                    lambda: np.asarray(out[:, :5 + spec]))
+                if self.host_compact:
+                    spec = -1          # full static hostcompact slab
+                    slab_fut = self._xfer_pool.submit(
+                        lambda: np.asarray(out))
+                else:
+                    spec = min(self._last_cap, self.out_cap)
+                    slab_fut = self._xfer_pool.submit(
+                        lambda: np.asarray(out[:, :5 + spec]))
                 rowbytes_fut = (self._xfer_pool.submit(
                     lambda: np.asarray(rowbytes))
                     if rowbytes.shape[0] else None)
@@ -812,7 +855,7 @@ class TPUFFV1Encoder:
                          (slab[:, 1].astype(np.int64) << 8) |
                          (slab[:, 2].astype(np.int64) << 16) |
                          (slab[:, 3].astype(np.int64) << 24))
-            if bool((slab[:, 4] != 0).any()):
+            if bool((slab[:, 4] & 1).astype(bool).any()):
                 # rare: some pixel emitted > 4 bytes (or a 16-px group
                 # > 24).  The Pallas compact form has already dropped
                 # slots, so redo the frame on the XLA scan path (raw
@@ -883,6 +926,17 @@ class TPUFFV1Encoder:
             with phase_timer("tpu-enc", "payload-fetch"):
                 if redone is not None:
                     out_np = np.asarray(redone[:, :cap2])
+                elif spec < 0:
+                    # hostcompact slab: [head 5 | gcounts NG | resolved
+                    # pcap + NG*24 + 3]; the C segment copier packs the
+                    # valid bytes (native.compact_groups)
+                    from .. import native as _native
+                    ng = self.finalize_ng
+                    gcounts = slab[:, 5:5 + ng]
+                    resolved = slab[:, 5 + ng:]
+                    out_np = _native.compact_groups(
+                        resolved, gcounts, p["plens"], counts_np,
+                        PREFIX_CAP, 24)
                 elif spec >= cap2:
                     out_np = slab[:, 5:5 + cap2]
                 else:

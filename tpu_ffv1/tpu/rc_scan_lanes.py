@@ -592,3 +592,97 @@ def rc_encode_scan_lanes_ext(ctx, diff, active, states0, one_tab,
         step, (S0, low0, range0), (ctx.T, diff.T, active.T))
     states_out = states.astype(jnp.uint8).reshape(L, CC, 32)
     return prov, valid, low, rng, states_out
+
+
+@functools.partial(jax.jit, static_argnames=("s2",))
+def finalize_packed_hostcompact(packed, low, rng, prefix, prefix_len,
+                                s2: int = 4):
+    """Finalize WITHOUT the device sort: per-pixel + 16-px-group
+    compaction and carry resolution run on device, but the final
+    variable-length concatenation happens on the HOST (a ~10 ms C
+    segment-copy, tpu_ffv1.native.compact_groups, fully overlapped
+    with the next frame's device compute) instead of an O(T log^2 T)
+    sort network (~60 ms of the batch-4 1080p dispatch).
+
+    Returns (slab uint8[L, 5 + NG + pcap + NG*C + 3], counts, overflow)
+    where the slab rows are [count:4 LE | overflow:1 | group counts:NG |
+    resolved prefix bytes:pcap | resolved group slots:NG*C | resolved
+    tail:3].  Valid bytes per segment: prefix_len, per-group counts,
+    and 2 + s_emit for the tail (s_emit rides the overflow byte's bit
+    1).
+    """
+    G, C = 16, 24
+    S2 = s2
+    N, S, L = packed.shape
+    assert N % G == 0
+    valid = (packed >> 20) & 1
+    pv = packed & 0x1FFFF
+    cnt_inc = jnp.cumsum(valid, axis=1)
+    cnt_exc = cnt_inc - valid
+    total_pix = cnt_inc[:, -1, :]
+    overflow = jnp.max(total_pix, axis=0) > S2
+    slots = jnp.stack(
+        [jnp.sum(pv * valid * (cnt_exc == k), axis=1) for k in range(S2)],
+        axis=1)
+    vld = (jnp.arange(S2, dtype=jnp.int32)[None, :, None]
+           < total_pix[:, None, :])
+    gs = slots.reshape(N // G, G * S2, L)
+    gv = vld.reshape(N // G, G * S2, L).astype(jnp.int32)
+    ginc = jnp.cumsum(gv, axis=1)
+    gexc = ginc - gv
+    gcount = ginc[:, -1, :]                               # (NG, L)
+    overflow = overflow | (jnp.max(gcount, axis=0) > C)
+    gslots = jnp.stack(
+        [jnp.sum(gs * gv * (gexc == k), axis=1) for k in range(C)],
+        axis=1)                                           # (NG, C, L)
+    gvld = (jnp.arange(C, dtype=jnp.int32)[None, :, None]
+            < gcount[:, None, :])
+    NG = N // G
+    flat_b = jnp.transpose(gslots, (2, 0, 1)).reshape(L, NG * C)
+    flat_v = jnp.transpose(gvld, (2, 0, 1)).reshape(L, NG * C)
+
+    # carry resolution over [prefix | data | tail] (invalid slots are
+    # neutral propagators) — same recurrence as _resolve_compact
+    pcap = prefix.shape[1]
+
+    def _pv(lw):
+        return (lw >> 8) | jnp.where((lw & 0xFF) != 0, 1 << 16, 0)
+
+    r1 = (rng * 129) >> 8
+    rng2 = rng - r1
+    s_emit = rng2 < 0x100
+    pv0 = _pv(low)
+    low2 = jnp.where(s_emit, (low & 0xFF) << 8, low)
+    t1 = _pv(low2 + 0xFF)
+    t2 = (low2 + 0xFF) & 0xFF
+    ones = jnp.ones((L,), bool)
+    tail_b = jnp.stack([jnp.where(s_emit, pv0, t1),
+                        jnp.where(s_emit, t1, t2),
+                        jnp.where(s_emit, t2, 0)], axis=1)
+    tail_v = jnp.stack([ones, ones, s_emit], axis=1)
+
+    pvld = jnp.arange(pcap, dtype=jnp.int32)[None, :] < prefix_len[:, None]
+    vals = jnp.concatenate([prefix, flat_b, tail_b], axis=1)
+    vld2 = jnp.concatenate([pvld, flat_v, tail_v], axis=1)
+    g = ((vals >> 8) & 1) * vld2.astype(jnp.int32)
+    pr_ = jnp.where(vld2,
+                    ((vals & 0x1FF) == 0xFF) & ((vals >> 16) == 1),
+                    True).astype(jnp.int32)
+    gr = g[:, ::-1]
+    pr = pr_[:, ::-1]
+    brk = jnp.cumsum(1 - pr, axis=1)
+    m = jax.lax.cummax(gr + 2 * brk, axis=1)
+    carry_out = ((m - 2 * brk) >= 1)[:, ::-1].astype(jnp.int32)
+    carry_in = jnp.concatenate(
+        [carry_out[:, 1:], jnp.zeros((L, 1), jnp.int32)], axis=1)
+    resolved = (((vals & 0x1FF) + carry_in) & 0xFF).astype(jnp.uint8)
+
+    counts = prefix_len + jnp.sum(flat_v, axis=1) + 2 + s_emit
+    counts = counts - 1        # the last provisional value never flushes
+    head = jnp.stack(
+        [(counts >> sh) & 0xFF for sh in (0, 8, 16, 24)] +
+        [overflow.astype(jnp.int32) | (s_emit.astype(jnp.int32) << 1)],
+        axis=1).astype(jnp.uint8)
+    slab = jnp.concatenate(
+        [head, gcount.T.astype(jnp.uint8), resolved], axis=1)
+    return slab, counts, overflow
