@@ -42,6 +42,30 @@ def synth_1080p(n_frames=4, seed=0):
     return frames
 
 
+def probe_link():
+    """Measure the host<->device link (the axon tunnel, when remote) so
+    the throughput numbers in this artifact carry their structural
+    context: encode moves ~12.4 MB of planes up and the compressed
+    payload down EVERY step, so on a slow shared tunnel the pipeline is
+    transfer-bound no matter what the kernels do.  Returns
+    (up_MB_s, down_MB_s) medians of 3 reps of 8 MB each."""
+    import jax
+    import jax.numpy as jnp
+    ups, downs = [], []
+    host = np.random.RandomState(0).randint(
+        0, 255, (8 << 20,), dtype=np.uint8)
+    dev = jnp.asarray(host[:16]).block_until_ready()   # warm dispatch
+    for _ in range(3):
+        t0 = time.time()
+        dev = jnp.asarray(host).block_until_ready()
+        ups.append(8.0 / max(time.time() - t0, 1e-9))
+        dev2 = (dev + 1).block_until_ready()   # defeat the fetch cache
+        t0 = time.time()
+        np.asarray(dev2)
+        downs.append(8.0 / max(time.time() - t0, 1e-9))
+    return sorted(ups)[1], sorted(downs)[1]
+
+
 def bench_tpu(frames, budget_s=900.0):
     import jax
     if os.environ.get("FFV1_JAX_CACHE"):
@@ -69,6 +93,7 @@ def bench_tpu(frames, budget_s=900.0):
     res = enc.encode_frames(streams0)
     log(f"first step (compile): {time.time() - t0:.1f}s, "
         f"{len(res[0][0])} bytes")
+    payload_mb = sum(len(r[0]) for r in res) / 1e6
     # pipelined steady state (default depth 2): upload of frame k+2,
     # device scan of frame k+1, and result download of frame k are all
     # in flight together — the half-duplex host link interleaves the
@@ -96,7 +121,10 @@ def bench_tpu(frames, budget_s=900.0):
         f"max {step_ms[-1]:.0f} ({batch} frames/step)")
     return mpix, dict(median_ms=round(med, 1), min_ms=round(step_ms[0], 1),
                       max_ms=round(step_ms[-1], 1), n_steps=len(step_ms),
-                      frames_per_step=batch)
+                      frames_per_step=batch,
+                      upload_mb_per_step=round(
+                          batch * 1920 * 1080 * 1.5 / 1e6, 2),
+                      download_mb_per_step=round(payload_mb, 2))
 
 
 def bench_host(frames):
@@ -144,7 +172,7 @@ def bench_tpu_decode(frames, budget_s=600.0):
     t0 = time.time()
     dec.decode_frames(step_pkts(0))
     log(f"decode first step (compile): {time.time() - t0:.1f}s")
-    n_steps = max(len(pkts), 6)
+    n_steps = max(nf, 6)
     depth = int(os.environ.get("FFV1_BENCH_DEPTH", "2"))
     t0 = time.time()
     n = 0
@@ -301,6 +329,23 @@ def check_hw_parity():
     ok_all &= ok
     log(f"hw-check decode range: {'PASS' if ok else 'FAIL'}")
 
+    # 5-input context model (context_model=1): the decode kernel's
+    # TT/LL ring-row path — infeasible under the Mosaic interpreter
+    # (tests/test_pallas.py), so this real-chip case is its validation
+    host = FFV1Encoder(EncoderParams(width=W, height=H, pix_fmt="yuv420p",
+                                     level=3, coder=2, slices=4,
+                                     context_model=1))
+    pkts = [host.encode_frame(f)[0] for f in frames]
+    dec = TPUFFV1Decoder(W, H, host.extradata)
+    ok = dec.use_pallas
+    for fi, pkt in enumerate(pkts):
+        planes, _ = dec.decode_frame(pkt)
+        ok &= all(np.array_equal(np.asarray(a), b)
+                  for a, b in zip(planes, frames[fi]))
+    results["decode_range_ctx1"] = ok
+    ok_all &= ok
+    log(f"hw-check decode ctx1 (5-input): {'PASS' if ok else 'FAIL'}")
+
     import jax
     results["platform"] = jax.devices()[0].platform
     results["ok"] = ok_all
@@ -315,6 +360,12 @@ def main():
     if "--check" in sys.argv:
         sys.exit(check_hw_parity())
     frames = synth_1080p()
+    link = None
+    try:
+        link = probe_link()
+        log(f"link probe: up {link[0]:.0f} MB/s, down {link[1]:.0f} MB/s")
+    except Exception as e:
+        log(f"link probe failed: {e}")
     host = hostd = None
     try:
         host = bench_host(frames)
@@ -360,6 +411,17 @@ def main():
         # steps; encode lanes = 4 streams x 24 slices)
         "encode_steps": enc_stats,
     }
+    if link is not None:
+        out["link_up_mb_s"] = round(link[0], 1)
+        out["link_down_mb_s"] = round(link[1], 1)
+        if enc_stats:
+            # the remote tunnel is half-duplex (memory: duplex ~= serial
+            # sum), so the per-step transfer floor adds both directions;
+            # on a locally attached chip this floor is negligible
+            floor_ms = (enc_stats["upload_mb_per_step"] / max(link[0], .1)
+                        + enc_stats["download_mb_per_step"]
+                        / max(link[1], .1)) * 1000
+            out["transfer_floor_ms_per_step"] = round(floor_ms, 1)
     if host is not None:
         out["host_c_encode_mpix_s"] = round(host, 3)
     if hostd is not None:

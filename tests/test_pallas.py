@@ -6,6 +6,8 @@ kernel currently trips a Mosaic VectorLayout-inference crash (see the
 module docstring) — this test pins the semantics so the kernel is ready
 when the compiler path clears.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -97,6 +99,13 @@ def test_pallas_compact_matches_xla_interpret():
     assert np.array_equal(np.asarray(S0), np.asarray(S1))
 
 
+@pytest.mark.skipif(os.environ.get("FFV1_SLOW_TESTS") != "1",
+                    reason="Mosaic interpreter needs hours for the "
+                           "pixel-serial decode kernel (even an 8x8 "
+                           "single-lane case exceeds 280s); the "
+                           "5-input decode kernel is validated on real "
+                           "hardware by bench.py --check "
+                           "(decode_range_ctx1) instead")
 def test_pallas_decode_five_input_interpret():
     """Decode kernel, 5-input context model (TT/LL ring row) — pinned
     against the XLA lane decoder under the TPU interpreter."""

@@ -109,6 +109,33 @@ def test_dryrun_multichip_entry():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_mesh_decode_invariance(ndev):
+    """TPUFFV1Decoder on an ndev mesh reconstructs host-encoded GOP
+    streams losslessly — the decode-side device-count invariance
+    (decode slice lanes shard like the reference's decoder slice
+    threads, ffv1dec.c:991-996)."""
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+    from tpu_ffv1.tpu.sharding import make_mesh
+
+    params = EncoderParams(width=64, height=32, pix_fmt="yuv420p",
+                           level=3, coder=2, slices=4, slicecrc=1,
+                           gop_size=2)
+    frames = _frames(64, 32, 3)
+    encs = [FFV1Encoder(params) for _ in range(2)]
+    streams = [[e.encode_frame(f)[0] for f in frames] for e in encs]
+    dec = TPUFFV1Decoder(64, 32, encs[0].extradata, batch=2,
+                         mesh=make_mesh(ndev))  # L=8 lanes
+    for t in range(len(frames)):
+        got = dec.decode_frames([streams[0][t], streams[1][t]])
+        for b in range(2):
+            planes, kf = got[b]
+            assert kf == (t % 2 == 0)
+            for a, w in zip(planes, frames[t]):
+                assert np.array_equal(np.asarray(a), w), \
+                    f"ndev={ndev} frame {t} stream {b}"
+
+
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_mesh_golomb_invariance(ndev):
     """Golomb-Rice (coder=0) encode sharded over a mesh == host encoder

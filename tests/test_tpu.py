@@ -282,6 +282,43 @@ def test_tpu_rgb_device_encode_byte_exact():
             assert pkt == ref[fi][0] and kf == ref[fi][1], (pix, fi)
 
 
+def test_tpu_rgb_device_decode_byte_exact():
+    """Device RGB decode (ffv1dec.c:226-280): bgr0/bgra/gbrp9 streams
+    reconstruct losslessly with batch lockstep and GOP state carry;
+    output layout matches FFV1Decoder (BGRA array / b,g,r planes)."""
+    rng = np.random.RandomState(5)
+
+    def frame8(t, alpha):
+        f = np.zeros((H, W, 4), np.uint8)
+        f[..., 0] = (np.add.outer(np.arange(H), np.arange(W)) + t * 7) % 256
+        f[..., 1] = rng.randint(0, 256, (H, W))
+        f[..., 2] = (np.add.outer(np.arange(H) * 2, np.arange(W)) + t) % 256
+        if alpha:
+            f[..., 3] = rng.randint(0, 256, (H, W))
+        return f
+
+    for pix in ("bgr0", "bgra", "gbrp9le"):
+        kw = dict(width=W, height=H, pix_fmt=pix, level=3, coder=2,
+                  slices=4, gop_size=2, slicecrc=1)
+        if pix == "gbrp9le":
+            frames = [[rng.randint(0, 512, (H, W)).astype(np.uint16)
+                       for _ in range(3)] for _ in range(3)]
+        else:
+            frames = [frame8(t, pix == "bgra") for t in range(3)]
+        enc = FFV1Encoder(EncoderParams(**kw))
+        pkts = [enc.encode_frame(f)[0] for f in frames]
+        hd = FFV1Decoder(W, H, enc.extradata)
+        dev = TPUFFV1Decoder(W, H, enc.extradata, batch=2)
+        assert dev.rgb
+        for t, pkt in enumerate(pkts):
+            want, wkf = hd.decode_frame(pkt)
+            for planes, kf in dev.decode_frames([pkt, pkt]):
+                assert kf == wkf
+                assert len(planes) == len(want)
+                for a, wp in zip(planes, want):
+                    assert np.array_equal(np.asarray(a), wp), (pix, t)
+
+
 def test_tpu_gbrp9_device_encode_batch():
     """Planar >8-bit RGB on the device path (gbrp9 -> 10-bit coded;
     the reference reads plane 0 into its 'b' variable,

@@ -54,6 +54,10 @@ def build_parser():
     p.add_argument("-passlogfile", default="ffv1_2pass",
                    help="stats file prefix (reference-compatible text; "
                         "'-0.log' is appended like ffmpeg)")
+    p.add_argument("-vf", dest="vf", default=None,
+                   help="linear filter chain (ffmpeg -vf analog): "
+                        "null,copy,format,scale,crop,hflip,vflip,"
+                        "transpose,trim — see tpu_ffv1/filtergraph.py")
     p.add_argument("-engine", default="auto",
                    choices=["auto", "spec", "native", "tpu"])
     p.add_argument("-benchmark", action="store_true")
@@ -150,13 +154,21 @@ def run(argv=None):
             frames.append(planes)
             npix += st.width * st.height
         conv = ""
-        if dec.pix_fmt and args.pix_fmt != dec.pix_fmt:
+        cur_fmt, cur_w, cur_h = dec.pix_fmt, st.width, st.height
+        if args.vf:
+            from ..filtergraph import FilterGraph
+            g = FilterGraph(args.vf, cur_fmt, cur_w, cur_h,
+                            dst_fmt=args.pix_fmt or None)
+            frames = g.run(frames)
+            cur_fmt, cur_w, cur_h = g.out_fmt, g.out_w, g.out_h
+            conv = f" [vf: {args.vf}]"
+        if cur_fmt and args.pix_fmt != cur_fmt:
             from ..swscale import convert
-            frames = [convert(f, dec.pix_fmt, args.pix_fmt,
-                              st.width, st.height) for f in frames]
-            conv = f" ({dec.pix_fmt} -> {args.pix_fmt})"
+            frames = [convert(f, cur_fmt, args.pix_fmt, cur_w, cur_h)
+                      for f in frames]
+            conv += f" ({cur_fmt} -> {args.pix_fmt})"
         raw_io.write_frames(args.output, frames)
-        what = f"decoded {len(frames)} frames {st.width}x{st.height}{conv}"
+        what = f"decoded {len(frames)} frames {cur_w}x{cur_h}{conv}"
     else:
         # ---- encode path ----
         if not args.size:
@@ -166,6 +178,12 @@ def run(argv=None):
         frames = raw_io.read_frames(args.input, in_fmt, w, h)
         if args.frames is not None:
             frames = frames[:args.frames]
+        if args.vf:
+            from ..filtergraph import FilterGraph
+            g = FilterGraph(args.vf, in_fmt, w, h,
+                            dst_fmt=args.pix_fmt or None)
+            frames = g.run(frames)
+            in_fmt, w, h = g.out_fmt, g.out_w, g.out_h
         if in_fmt != args.pix_fmt:
             from ..swscale import convert
             frames = [convert(f, in_fmt, args.pix_fmt, w, h)

@@ -191,11 +191,26 @@ def _scaler_plane(plane: np.ndarray, src_depth: int, dst_depth: int,
 
 
 def _nearest_axis(n_dst: int, n_src: int) -> np.ndarray:
-    """SWS_POINT sample rule: src = floor((dst + 0.5) * src / dst),
-    clipped — verified against the reference binary for every
-    subsampling pair used by the formats here."""
-    idx = ((2 * np.arange(n_dst) + 1) * n_src) // (2 * n_dst)
-    return np.minimum(idx, n_src - 1)
+    """SWS_POINT sample rule, bit-exact to the reference filter-position
+    build (libswscale/utils.c):
+
+      xInc = ((srcW << 16) + (dstW >> 1)) / dstW          (:1257)
+      pos  = 128 on both sides (get_local_pos, :284-291 — the luma
+             positions and every default chroma position resolve to
+             128), so xDstInSrc starts at ((128*xInc)>>8) - 0x8000
+             and xx_i = (xDstInSrc + (1<<15)) >> 16        (:344-358)
+      borders clamp to [0, srcW-1]                         (:627-641)
+
+    Equivalent to floor((dst+0.5)*src/dst) only at integer ratios; the
+    fixed-point rounding differs at fractional ones (e.g. 48 -> 20),
+    and the reference's near-unity fast path (:333, |xInc-2^16| < 10)
+    is identity."""
+    xinc = ((n_src << 16) + (n_dst >> 1)) // n_dst
+    if abs(xinc - 0x10000) < 10:
+        return np.minimum(np.arange(n_dst), n_src - 1)
+    idx = (((128 * xinc) >> 8) +
+           np.arange(n_dst, dtype=np.int64) * xinc) >> 16
+    return np.clip(idx, 0, n_src - 1)
 
 
 def _resample(plane: np.ndarray, dst_h: int, dst_w: int) -> np.ndarray:
@@ -231,6 +246,59 @@ def _rgb2yuv_bt601(r, g, b):
     v = (28784 * r - 24103 * g - 4681 * b + (128 << 16) + (1 << 15)) >> 16
     clip = lambda x: np.clip(x, 0, 255).astype(np.uint8)  # noqa: E731
     return clip(y), clip(u), clip(v)
+
+
+def scale_convert(frame, src_fmt: str, dst_fmt: str,
+                  src_w: int, src_h: int, dst_w: int, dst_h: int):
+    """ONE sws pass that resizes AND converts (the vf_scale case when
+    lavfi format negotiation assigns the scale filter a different
+    output format): hScale/vScale nearest pick straight to the
+    destination plane geometry, then the intermediate-domain output
+    stage (dither/rounding) at destination coordinates.  This is NOT
+    the same bytes as resize-then-convert — the composition of two
+    nearest maps and a pre-resize dither differ from the single pass.
+
+    Only planar YUV/gray pairs (the scaler path of convert()); when
+    the size is unchanged sws takes its unscaled path instead
+    (swscale.c:1678 check), so callers should use convert() there.
+    """
+    sf = get_pix_fmt(src_fmt)
+    df = get_pix_fmt(dst_fmt)
+    if sf.interleaved or df.interleaved or sf.colorspace == 1 \
+            or df.colorspace == 1:
+        raise ValueError(f"scale+convert {src_fmt} -> {dst_fmt}: only "
+                         "planar YUV/gray (insert format=... around "
+                         "the scale)")
+    planes = [np.asarray(p) for p in frame]
+    src_full = not sf.chroma_planes
+    dst_full = not df.chroma_planes
+    range_conv = None
+    if src_full != dst_full:
+        range_conv = "to_jpeg" if dst_full else "from_jpeg"
+    out = [_scaler_plane(planes[0], sf.bits, df.bits, dst_h, dst_w,
+                         range_conv, chroma=False)]
+    if df.chroma_planes:
+        ch = ceil_rshift(dst_h, df.chroma_v_shift)
+        cw = ceil_rshift(dst_w, df.chroma_h_shift)
+        if sf.chroma_planes:
+            for k in (1, 2):
+                out.append(_scaler_plane(planes[k], sf.bits, df.bits,
+                                         ch, cw, range_conv, chroma=True,
+                                         dither_offset=3 * (k == 2)))
+        else:
+            mid = 1 << (df.bits - 1) if df.bits > 8 else 128
+            dt = np.uint8 if df.bits <= 8 else np.uint16
+            out.append(np.full((ch, cw), mid, dt))
+            out.append(np.full((ch, cw), mid, dt))
+    if df.transparency:
+        mx = (1 << df.bits) - 1
+        dt = np.uint8 if df.bits <= 8 else np.uint16
+        if sf.transparency:
+            out.append(_scaler_plane(planes[-1], sf.bits, df.bits,
+                                     dst_h, dst_w, None, chroma=False))
+        else:
+            out.append(np.full((dst_h, dst_w), mx, dt))
+    return out
 
 
 def convert(frame, src_fmt: str, dst_fmt: str, width: int, height: int):

@@ -50,28 +50,11 @@ def _tree_lookup(tab, idx):
     return jnp.sum(c * jnp.maximum(0, 1 - d * d), axis=1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("plane_specs", "bits", "five_input"))
-def rc_decode_planes_lanes(bufs, states, one_tab, zero_tab, qt,
-                           low0, range0, pos0,
-                           plane_specs: tuple, bits: int,
-                           five_input: bool):
-    """Decode all planes of L parallel slice streams.
-
-    Args:
-      bufs: uint8[L, cap] per-lane slice byte buffers (padded)
-      states: uint8[L, CC_total, 32] adaptive states
-      qt: int32[5, 256] quant table (all lanes share one table)
-      low0, range0, pos0: int32[L] coder state after the host-parsed
-        slice headers
-      plane_specs: static tuple of (w, h, plane_base) in coding order
-        with plane_base = state_plane_index * cc, e.g.
-        ((sw, sh, 0), (cw, ch, cc), (cw, ch, cc)) for yuv
-      bits: static bit depth (<= 10)
-    Returns:
-      (planes: tuple of int32[L, h, w] in spec order, states_out,
-       low[L], range[L], pos[L])
-    """
+def _machinery(bufs, states, one_tab, qt, bits: int, five_input: bool):
+    """Shared scan machinery (rac decisions, per-pixel get_symbol,
+    per-plane row loop) over the lane-major buffers; used by the planar
+    YUV/gray path (rc_decode_planes_lanes) and the line-interleaved RGB
+    path (rc_decode_rgb_lanes)."""
     L, CC = states.shape[0], states.shape[1]
     cap = bufs.shape[1]
     lane_base = jnp.arange(L, dtype=jnp.int32) * CC
@@ -220,6 +203,34 @@ def rc_decode_planes_lanes(bufs, states, one_tab, zero_tab, qt,
         plane = jnp.moveaxis(rows, 0, 1)          # (L, h, w)
         return plane, S, low, rng, pos
 
+    return S0, make_pixel, decode_plane
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("plane_specs", "bits", "five_input"))
+def rc_decode_planes_lanes(bufs, states, one_tab, zero_tab, qt,
+                           low0, range0, pos0,
+                           plane_specs: tuple, bits: int,
+                           five_input: bool):
+    """Decode all planes of L parallel slice streams.
+
+    Args:
+      bufs: uint8[L, cap] per-lane slice byte buffers (padded)
+      states: uint8[L, CC_total, 32] adaptive states
+      qt: int32[5, 256] quant table (all lanes share one table)
+      low0, range0, pos0: int32[L] coder state after the host-parsed
+        slice headers
+      plane_specs: static tuple of (w, h, plane_base) in coding order
+        with plane_base = state_plane_index * cc, e.g.
+        ((sw, sh, 0), (cw, ch, cc), (cw, ch, cc)) for yuv
+      bits: static bit depth (<= 10)
+    Returns:
+      (planes: tuple of int32[L, h, w] in spec order, states_out,
+       low[L], range[L], pos[L])
+    """
+    L, CC = states.shape[0], states.shape[1]
+    S0, _make_pixel, decode_plane = _machinery(
+        bufs, states, one_tab, qt, bits, five_input)
     planes = []
     S, low, rng, pos = S0, low0, range0, pos0
     for (w, h, pbase) in plane_specs:
@@ -228,3 +239,55 @@ def rc_decode_planes_lanes(bufs, states, one_tab, zero_tab, qt,
         planes.append(pl_out)
     states_out = S.astype(jnp.uint8).reshape(L, CC, 32)
     return tuple(planes), states_out, low, rng, pos
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w", "h", "nplanes", "cc", "bits",
+                                    "five_input"))
+def rc_decode_rgb_lanes(bufs, states, one_tab, zero_tab, qt,
+                        low0, range0, pos0, w: int, h: int,
+                        nplanes: int, cc: int, bits: int,
+                        five_input: bool):
+    """Line-interleaved RGB decode (ffv1dec.c:226-255): for each row y
+    the planes g, b, r[, a] decode one line each from the SAME rac
+    stream, with state plane_index (p + 1)/2 (g:0, b/r:1, a:2) and a
+    2-row ring per plane — the TT read of the 5-input context model is
+    the STALE cur[x] exactly as in decode_line's
+    ``get_context(p, cur + x, last + x, cur + x)`` (ffv1dec.c:126).
+
+    ``bits`` is the CODED width: 9 for <=8-bit RGB, source_bits + 1
+    otherwise (ffv1dec.c:252-255).  Returns samples still in the RCT
+    domain (offset applied, no inverse transform) as int32[P, L, h, w],
+    plus (states_out, low, rng, pos).
+    """
+    L, CC = states.shape[0], states.shape[1]
+    S0, make_pixel, _decode_plane = _machinery(
+        bufs, states, one_tab, qt, bits, five_input)
+    pixels = [make_pixel(w, jnp.int32(((p + 1) // 2) * cc))
+              for p in range(nplanes)]
+
+    def row_step(carry, y):
+        ringsA, ringsB, S, low, rng, pos = carry   # (P, L, w) rings
+        parity = (y % 2) == 0
+        outs = []
+        for p in range(nplanes):
+            cur = jnp.where(parity, ringsA[p], ringsB[p])
+            prev = jnp.where(parity, ringsB[p], ringsA[p])
+            cl = prev[:, 0]
+            plft = cur[:, 0]
+            (cur, prev, cl, plft, S, low, rng, pos), _ = jax.lax.scan(
+                pixels[p], (cur, prev, cl, plft, S, low, rng, pos),
+                jnp.arange(w))
+            ringsA = ringsA.at[p].set(jnp.where(parity, cur, ringsA[p]))
+            ringsB = ringsB.at[p].set(jnp.where(parity, ringsB[p], cur))
+            outs.append(cur)
+        return (ringsA, ringsB, S, low, rng, pos), jnp.stack(outs)
+
+    init = (jnp.zeros((nplanes, L, w), jnp.int32),
+            jnp.zeros((nplanes, L, w), jnp.int32),
+            S0, low0, range0, pos0)
+    (_, _, S, low, rng, pos), rows = jax.lax.scan(
+        row_step, init, jnp.arange(h))
+    planes = jnp.moveaxis(rows, 0, 2)             # (P, L, h, w)
+    states_out = S.astype(jnp.uint8).reshape(L, CC, 32)
+    return planes, states_out, low, rng, pos

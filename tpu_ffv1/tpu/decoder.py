@@ -18,8 +18,11 @@ per-slice scans (dec_scan.py).
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..bitstream.headers import read_extra_header, read_slice_header
@@ -33,6 +36,48 @@ from .dec_scan_lanes import rc_decode_planes_lanes
 from .rc_dec_pallas import rc_decode_planes_pallas
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "w", "h", "nplanes", "cc", "coded_bits", "five", "bits", "batch",
+    "nh", "nv"))
+def _rgb_decode_assemble(bufs, states, one_tab, zero_tab, qt,
+                         low0, range0, pos0, by, ry, w: int, h: int,
+                         nplanes: int, cc: int, coded_bits: int,
+                         five: bool, bits: int, batch: int, nh: int,
+                         nv: int):
+    """Fused RGB decode + device postprocess: RCT-domain scan, per-lane
+    inverse RCT (ffv1dec.c:264-269, v4 coefficients via by/ry), slice
+    grid assembly, and output packing (uint8 BGRA / uint16 b,g,r
+    planes) — one device program, wire-dtype transfer."""
+    from .dec_scan_lanes import rc_decode_rgb_lanes
+    planes_dev, states_out, low, rng, pos = rc_decode_rgb_lanes(
+        bufs, states, one_tab, zero_tab, qt, low0, range0, pos0,
+        w, h, nplanes, cc, coded_bits, five)
+    offset = 1 << bits
+    b = planes_dev[1] - offset
+    r = planes_dev[2] - offset
+    gg = planes_dev[0] - ((b * by[:, None, None] +
+                           r * ry[:, None, None]) >> 2)
+    b = b + gg
+    r = r + gg
+
+    def assemble(x):
+        x = x.reshape(batch, nv, nh, h, w)
+        return jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(
+            batch, nv * h, nh * w)
+
+    if bits <= 8:
+        a = planes_dev[3] if nplanes == 4 else jnp.zeros_like(b)
+        # uint32 LE store b | g<<8 | r<<16 | a<<24 (ffv1dec.c:272)
+        full = jnp.stack([assemble(c) & 0xFF for c in (b, gg, r, a)],
+                         axis=-1).astype(jnp.uint8)
+        planes_full = (full,)
+    else:
+        planes_full = tuple((assemble(c) & 0xFFFF).astype(jnp.uint16)
+                            for c in (b, gg, r))
+    lrp = jnp.stack([low, rng, pos])
+    return planes_full, states_out, lrp
+
+
 class TPUFFV1Decoder:
     """Device-resident FFV1 decoder.
 
@@ -42,11 +87,13 @@ class TPUFFV1Decoder:
     """
 
     def __init__(self, width: int, height: int, extradata: bytes,
-                 batch: int = 1):
+                 batch: int = 1, mesh=None):
         g = read_extra_header(extradata)
         self.golomb = g.ac == T.AC_GOLOMB_RICE
-        if g.colorspace != 0:
-            raise NotImplementedError("TPU decode supports planar YUV/gray")
+        self.rgb = g.colorspace == 1
+        if self.rgb and self.golomb:
+            raise NotImplementedError("TPU RGB decode requires the "
+                                      "range coder")
         self.g = g
         self.width = width
         self.height = height
@@ -59,6 +106,10 @@ class TPUFFV1Decoder:
         self.quant_table_count = g.quant_table_count
         self.ec = g.ec
         self.bits = 8 if g.bits_per_raw_sample <= 8 else g.bits_per_raw_sample
+        # RGB planes code at 9 bits for <=8-bit sources, bits+1 above
+        # (ffv1dec.c:252-255); the fused kernel needs coded width <= 10
+        self.coded_bits = (9 if self.bits <= 8 else self.bits + 1) \
+            if self.rgb else self.bits
         if g.ac == T.AC_RANGE_CUSTOM_TAB:
             one, zero = custom_state_tables(g.state_transition)
         else:
@@ -71,20 +122,33 @@ class TPUFFV1Decoder:
                                 g.num_v_slices)
         self.n_slices = len(self.geoms)
         self.L = self.n_slices * batch
+        # multi-chip: decode slice lanes shard over a 1-D mesh, the
+        # distributed analog of the decoder's slice-thread pool
+        # (ffv1dec.c:991-996); see sharding.decode_lanes_sharded
+        self.mesh = mesh
+        if mesh is not None and self.L % mesh.devices.size:
+            raise ValueError(
+                f"lane count {self.L} (slices x batch) must divide the "
+                f"mesh size {mesh.devices.size}")
         self.qts = [jnp.asarray(q, dtype=jnp.int32) for q in g.quant_tables]
 
         # fused lane-major path requires a uniform grid (block-reshape
-        # plane scatter) and bits <= 10 (distinct-slot get_symbol)
+        # plane scatter) and coded width <= 10 (distinct-slot get_symbol)
         g0 = self.geoms[0]
         nh, nv = g.num_h_slices, g.num_v_slices
         self.uniform = (
-            self.bits <= 10 and
+            self.coded_bits <= 10 and
             all(gm.width == g0.width and gm.height == g0.height
                 for gm in self.geoms) and
             width % nh == 0 and height % nv == 0 and
             (not g.chroma_planes or
              (g0.width % (1 << g.chroma_h_shift) == 0 and
               g0.height % (1 << g.chroma_v_shift) == 0)))
+        if self.rgb and not self.uniform:
+            raise NotImplementedError(
+                "TPU RGB decode requires a uniform slice grid and a "
+                "<=9-bit source (coded width <= 10); use the host "
+                "decoder otherwise")
 
         # Pallas decode kernel (VMEM-resident states/rows/byte FIFO) on
         # real accelerators; it covers the 3-input context model (the
@@ -145,7 +209,8 @@ class TPUFFV1Decoder:
     def _parse_packet(self, bi: int, pkt: bytes):
         """Keyframe bit + footer chain + CRC + slice headers for one
         stream's packet.  Returns (keyframe, per-slice list of
-        (buf, qidx, low, range, pos))."""
+        (buf, qidx, low, range, pos), per-slice list of
+        (rct_by, rct_ry, coding_mode, reset_contexts))."""
         rc = RangeDecoder(pkt, *default_state_tables())
         keystate = np.array([128], dtype=np.uint8)
         keyframe = bool(rc.get_rac(keystate, 0))
@@ -159,6 +224,7 @@ class TPUFFV1Decoder:
         if len(bounds) != len(self.geoms):
             raise ValueError("slice count mismatch")
         slices = []
+        extras = []
         for si, (start, end) in enumerate(bounds):
             if keyframe:
                 self.slice_damaged[bi, si] = False
@@ -169,13 +235,19 @@ class TPUFFV1Decoder:
             src.set_tables(*self.tables)
             if si == 0:
                 src.low, src.range, src.pos = rc.low, rc.range, rc.pos
+            ex = (1, 1, 0, 0)
             try:
                 ss = SliceState(geom=self.geoms[si])
                 qidxs, _ = read_slice_header(self, ss, src)
                 qidx = qidxs[0]
+                # v4 per-slice RCT coefficients / PCM mode / context
+                # reset (ffv1dec.c:345-356); defaults below v4
+                ex = (ss.slice_rct_by_coef, ss.slice_rct_ry_coef,
+                      ss.slice_coding_mode, ss.slice_reset_contexts)
             except (ValueError, IndexError):
                 self.slice_damaged[bi, si] = True
                 qidx = 0
+            extras.append(ex)
             if self.golomb:
                 # bit reader starts at ac_byte_count after the range-
                 # coded header (+ v3.2 sentinel), ffv1dec.c:427-434
@@ -187,7 +259,7 @@ class TPUFFV1Decoder:
                                src.bytes_consumed() - 1))
             else:
                 slices.append((buf, qidx, src.low, src.range, src.pos))
-        return keyframe, slices
+        return keyframe, slices, extras
 
     def _plane_specs(self):
         g = self.g
@@ -206,8 +278,13 @@ class TPUFFV1Decoder:
     def _fresh_states(self, qidx: int):
         g = self.g
         cc = g.context_counts[qidx]
-        n_state_planes = 1 + (1 if g.chroma_planes else 0) + \
-            (1 if g.transparency else 0)
+        if self.rgb:
+            # RGB state planes: g->0, b/r->1, a->2 ((p+1)/2,
+            # ffv1dec.c:253)
+            n_state_planes = 2 + (1 if g.transparency else 0)
+        else:
+            n_state_planes = 1 + (1 if g.chroma_planes else 0) + \
+                (1 if g.transparency else 0)
         total_cc = n_state_planes * cc
         init = g.initial_states[qidx]
         if init is not None:
@@ -228,9 +305,13 @@ class TPUFFV1Decoder:
                   for bi, pkt in enumerate(pkts)]
         keyframes = [p[0] for p in parsed]
         qidx0 = parsed[0][1][0][1]
-        same_q = all(s[1] == qidx0 for _, sl in parsed for s in sl)
+        same_q = all(s[1] == qidx0 for p in parsed for s in p[1])
 
         if not (self.uniform and same_q):
+            if self.rgb:
+                raise NotImplementedError(
+                    "TPU RGB decode requires a shared quant table "
+                    "across slices; use the host decoder")
             planes_out = [self._decode_stream_fallback(bi, parsed[bi])
                           for bi in range(self.batch)]
             self._pending.append(dict(results=[
@@ -243,14 +324,14 @@ class TPUFFV1Decoder:
         total_cc = self._fresh_states(qidx0).shape[0]
 
         # lane-major buffers (bucketed cap bounds recompiles)
-        maxlen = max(len(s[0]) for _, sl in parsed for s in sl)
+        maxlen = max(len(s[0]) for p in parsed for s in p[1])
         cap = max(4096, 1 << (maxlen - 1).bit_length())
         bufs = np.zeros((self.L, cap), np.uint8)
         lows = np.zeros(self.L, np.int32)
         ranges = np.zeros(self.L, np.int32)
         poss = np.zeros(self.L, np.int32)
         buflens = np.zeros(self.L, np.int64)
-        for bi, (kf, sl) in enumerate(parsed):
+        for bi, (kf, sl, _ex) in enumerate(parsed):
             for si, (buf, qidx, lo, ra, po) in enumerate(sl):
                 lane = bi * self.n_slices + si
                 bufs[lane, :len(buf)] = np.frombuffer(buf, np.uint8)
@@ -260,9 +341,27 @@ class TPUFFV1Decoder:
         qt = self.qts[qidx0]
         five = bool(g.quant_tables[qidx0][3][127])
 
+        # v4 per-slice extras (ffv1dec.c:345-356): PCM slices can't ride
+        # the fused scans (host decoder handles them); reset_contexts
+        # resets that lane's adaptive states; RCT coefficients feed the
+        # RGB inverse transform per lane
+        resets = np.zeros(self.L, bool)
+        for bi, (_kf, _sl, ex) in enumerate(parsed):
+            for si, (_by, _ry, mode, rst) in enumerate(ex):
+                if mode != 0:
+                    raise NotImplementedError(
+                        "v4 PCM slices are host-only; use FFV1Decoder")
+                resets[bi * self.n_slices + si] = bool(rst)
+
         if self.golomb:
             self._submit_golomb(parsed, keyframes, bufs, poss, qidx0,
                                 cc, specs, total_cc, buflens)
+            return
+
+        if self.rgb:
+            self._submit_rgb(parsed, keyframes, resets, bufs, lows,
+                             ranges, poss, qt, qidx0, total_cc, buflens,
+                             five)
             return
 
         def work():
@@ -272,17 +371,26 @@ class TPUFFV1Decoder:
             if self.states is None or self.states.shape[1] != total_cc:
                 self.states = jnp.asarray(np.tile(
                     self._fresh_states(qidx0)[None], (self.L, 1, 1)))
-            if any(keyframes):
+            if any(keyframes) or resets.any():
                 st = np.array(self.states)
                 fresh = self._fresh_states(qidx0)
                 for bi, kf in enumerate(keyframes):
                     if kf:
                         st[bi * self.n_slices:
                            (bi + 1) * self.n_slices] = fresh
+                st[resets] = fresh
                 self.states = jnp.asarray(st)
             states0 = self.states
             db = jnp.asarray(bufs)
-            if self.use_pallas:
+            if self.mesh is not None:
+                from .sharding import decode_lanes_sharded
+                planes_dev, states_out, low, rng, pos = \
+                    decode_lanes_sharded(
+                        self.mesh, db, states0, self.one_tab,
+                        self.zero_tab, qt, jnp.asarray(lows),
+                        jnp.asarray(ranges), jnp.asarray(poss), specs,
+                        self.bits, five)
+            elif self.use_pallas:
                 planes_dev, states_out, low, rng, pos = \
                     rc_decode_planes_pallas(
                         db, states0, self.one_tab, self.zero_tab, qt,
@@ -323,6 +431,60 @@ class TPUFFV1Decoder:
             return dict(plane_futs=plane_futs, lrp_fut=lrp_fut,
                         keyframes=keyframes, parsed=parsed,
                         buflens=buflens, specs=specs)
+
+        self._pending.append(self._executor.submit(work))
+
+    def _submit_rgb(self, parsed, keyframes, resets, bufs, lows, ranges,
+                    poss, qt, qidx0, total_cc, buflens, five):
+        """Fused line-interleaved RGB decode (ffv1dec.c:226-280):
+        rc_decode_rgb_lanes yields RCT-domain samples; the inverse RCT,
+        slice-grid assembly and output packing all run on device so the
+        transfer is the final frame bytes.  Output convention matches
+        FFV1Decoder._alloc_frame: <=8-bit -> one (h, w, 4) uint8 BGRA
+        array per stream; >8-bit -> three uint16 planes in coded
+        (b, g, r) order."""
+        from .dec_scan_lanes import rc_decode_rgb_lanes
+        g = self.g
+        g0 = self.geoms[0]
+        nplanes = 3 + (1 if g.transparency else 0)
+        lbd = self.bits <= 8
+        nh, nv = g.num_h_slices, g.num_v_slices
+        # per-lane v4 RCT coefficients (1, 1 below v4)
+        by = np.ones(self.L, np.int32)
+        ry = np.ones(self.L, np.int32)
+        for bi, (_kf, _sl, ex) in enumerate(parsed):
+            for si, (eby, ery, _m, _r) in enumerate(ex):
+                lane = bi * self.n_slices + si
+                by[lane], ry[lane] = eby, ery
+
+        def work():
+            if self.states is None or self.states.shape[1] != total_cc:
+                self.states = jnp.asarray(np.tile(
+                    self._fresh_states(qidx0)[None], (self.L, 1, 1)))
+            if any(keyframes) or resets.any():
+                st = np.array(self.states)
+                fresh = self._fresh_states(qidx0)
+                for bi, kf in enumerate(keyframes):
+                    if kf:
+                        st[bi * self.n_slices:
+                           (bi + 1) * self.n_slices] = fresh
+                st[resets] = fresh
+                self.states = jnp.asarray(st)
+            states0 = self.states
+            planes_full, states_out, lrp = _rgb_decode_assemble(
+                jnp.asarray(bufs), states0, self.one_tab, self.zero_tab,
+                qt, jnp.asarray(lows), jnp.asarray(ranges),
+                jnp.asarray(poss), jnp.asarray(by), jnp.asarray(ry),
+                g0.width, g0.height, nplanes, g.context_counts[qidx0],
+                self.coded_bits, five, self.bits, self.batch, nh, nv)
+            self.states = states_out
+            plane_futs = [self._xfer_pool.submit(
+                lambda a=pl: np.asarray(a)) for pl in planes_full]
+            lrp_fut = self._xfer_pool.submit(
+                lambda: tuple(np.asarray(lrp)))
+            return dict(plane_futs=plane_futs, lrp_fut=lrp_fut,
+                        keyframes=keyframes, parsed=parsed,
+                        buflens=buflens, specs=None)
 
         self._pending.append(self._executor.submit(work))
 
@@ -396,7 +558,7 @@ class TPUFFV1Decoder:
             else []
         if p["lrp_fut"] is not None:
             low, rng, pos = p["lrp_fut"].result()
-        for bi, (kf, sl) in parsed_iter:
+        for bi, (kf, sl, _ex) in parsed_iter:
             for si, (buf, *_rest) in enumerate(sl):
                 lane = bi * self.n_slices + si
                 src = RangeDecoder(buf)
@@ -428,7 +590,7 @@ class TPUFFV1Decoder:
         """Per-slice scans (non-uniform grids / mixed quant tables /
         bits > 10) — the round-1 formulation."""
         g = self.g
-        keyframe, slices = parsed
+        keyframe, slices = parsed[0], parsed[1]
         h, w = self.height, self.width
         dt = np.uint8 if self.bits <= 8 else np.uint16
         planes = [np.zeros((h, w), dtype=dt)]

@@ -84,6 +84,63 @@ def _sharded_fn(mesh: Mesh, bits: int, use_pallas: bool, chunk: int):
     return fn
 
 
+def _sharded_dec_fn(mesh: Mesh, specs: tuple, bits: int,
+                    five: bool, use_pallas: bool):
+    """Build (once per (mesh, geometry, path)) the jitted sharded
+    decode.  Decode slices are independent bitstreams exactly like
+    encode slices (the decoder's slice threads, ffv1dec.c:991-996), so
+    the lane axis shards with zero collectives; only the reconstructed
+    planes are gathered for frame assembly."""
+    key = ("dec", id(mesh), mesh.axis_names, specs, bits, five,
+           use_pallas)
+    fn = _FN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from .dec_scan_lanes import rc_decode_planes_lanes
+    from .rc_dec_pallas import rc_decode_planes_pallas
+    axis = mesh.axis_names[0]
+    lane = P(axis)
+    repl = P()
+
+    def local(bufs, states, one_tab, zero_tab, qt, low0, range0, pos0):
+        scan = rc_decode_planes_pallas if use_pallas \
+            else rc_decode_planes_lanes
+        return scan(bufs, states, one_tab, zero_tab, qt,
+                    low0, range0, pos0, specs, bits, five)
+
+    smapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(lane, lane, repl, repl, repl, lane, lane, lane),
+        # (planes tuple, states_out, low, rng, pos) — all lane-major
+        out_specs=((lane,) * len(specs), lane, lane, lane, lane),
+        # Pallas out_shapes carry no vma metadata; outputs are plainly
+        # lane-sharded (zero collectives), so the vma lint is off as in
+        # the encode path
+        check_vma=False)
+    fn = jax.jit(smapped)
+    _FN_CACHE[key] = fn
+    return fn
+
+
+def decode_lanes_sharded(mesh: Mesh, bufs, states, one_tab, zero_tab,
+                         qt, low0, range0, pos0, specs: tuple,
+                         bits: int, five: bool,
+                         use_pallas: bool | None = None):
+    """Shard the decode lane dimension over the mesh (the multi-chip
+    analog of the decoder's slice-thread pool).  Mirrors
+    encode_lanes_sharded; returns what rc_decode_planes_lanes returns,
+    lane-sharded."""
+    if use_pallas is None:
+        use_pallas = mesh.devices.flat[0].platform not in ("cpu",)
+    L = bufs.shape[0]
+    ndev = mesh.devices.size
+    if L % ndev:
+        raise ValueError(f"lane count {L} not divisible by mesh size "
+                         f"{ndev}; pad with inactive lanes")
+    fn = _sharded_dec_fn(mesh, specs, bits, five, use_pallas)
+    return fn(bufs, states, one_tab, zero_tab, qt, low0, range0, pos0)
+
+
 def encode_lanes_sharded(mesh: Mesh, ctx, diff, active, states0,
                          one_tab, zero_tab, lows, ranges, prefixes, plens,
                          bits: int, use_pallas: bool | None = None,
