@@ -119,12 +119,47 @@ def bench_tpu(frames, budget_s=900.0):
     mpix = batch * 1920 * 1080 / (med / 1000) / 1e6
     log(f"tpu steady: median {med:.0f} ms/step, min {step_ms[0]:.0f}, "
         f"max {step_ms[-1]:.0f} ({batch} frames/step)")
-    return mpix, dict(median_ms=round(med, 1), min_ms=round(step_ms[0], 1),
-                      max_ms=round(step_ms[-1], 1), n_steps=len(step_ms),
-                      frames_per_step=batch,
-                      upload_mb_per_step=round(
-                          batch * 1920 * 1080 * 1.5 / 1e6, 2),
-                      download_mb_per_step=round(payload_mb, 2))
+
+    # device-resident compute: the fused pipeline timed with the planes
+    # already in HBM — the throughput a locally-attached chip sees
+    # (PCIe moves a step's 12 MB in ~1 ms; the dev tunnel here needs
+    # ~500 ms, so the end-to-end median above is link-bound while this
+    # is the kernel's own speed)
+    comp_ms = None
+    try:
+        import jax
+        import jax.numpy as jnp
+        streams_np = tuple(
+            tuple(np.asarray(p) for p in frames[i % len(frames)])
+            for i in range(batch))
+        dev = tuple(jnp.asarray(np.stack([s[k] for s in streams_np]))
+                    for k in range(len(streams_np[0])))
+        lows, ranges, prefixes, plens = enc._prefix_arrays(True)
+        args = (dev, jnp.full_like(enc.states, 128),
+                jnp.asarray(lows), jnp.asarray(ranges),
+                jnp.asarray(prefixes), jnp.asarray(plens))
+        jax.block_until_ready(enc._frame_fn(*args))       # warm
+        reps = []
+        for _ in range(5):
+            t0 = time.time()
+            jax.block_until_ready(enc._frame_fn(*args))
+            reps.append((time.time() - t0) * 1000)
+        comp_ms = sorted(reps)[len(reps) // 2]
+        log(f"tpu compute (device-resident): {comp_ms:.0f} ms/step = "
+            f"{batch * 1920 * 1080 / comp_ms / 1000:.1f} Mpixel/s")
+    except Exception as e:
+        log(f"compute probe failed: {e}")
+    stats = dict(median_ms=round(med, 1), min_ms=round(step_ms[0], 1),
+                 max_ms=round(step_ms[-1], 1), n_steps=len(step_ms),
+                 frames_per_step=batch,
+                 upload_mb_per_step=round(
+                     batch * 1920 * 1080 * 1.5 / 1e6, 2),
+                 download_mb_per_step=round(payload_mb, 2))
+    if comp_ms is not None:
+        stats["compute_ms_per_step"] = round(comp_ms, 1)
+        stats["compute_mpix_s"] = round(
+            batch * 1920 * 1080 / comp_ms / 1000, 2)
+    return mpix, stats
 
 
 def bench_host(frames):
