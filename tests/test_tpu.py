@@ -179,6 +179,30 @@ def test_tpu_pipelined_submit_collect_byte_exact():
         assert wk == gk and wp == gp, f"frame {t}"
 
 
+def test_tpu_device_source_byte_exact():
+    """submit_device_frames (planes already on device, upload skipped)
+    must produce the same bytes as the host-source path, across a GOP
+    boundary and with batch > 1."""
+    import jax.numpy as jnp
+    frames = _frames(8, seed=17)
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv420p", level=3,
+                           coder=2, slices=4, gop_size=2)
+    host = TPUFFV1Encoder(params, batch=2)
+    dev = TPUFFV1Encoder(params, batch=2)
+    want, got = [], []
+    for t in range(len(frames) - 1):
+        streams = [frames[t], frames[t + 1]]
+        want.append(host.encode_frames(streams))
+        planes = tuple(
+            jnp.asarray(np.stack([s[k] for s in streams]))
+            for k in range(3))
+        dev.submit_device_frames(planes)
+        got.append(dev.collect_frames())
+    for t, (wl, gl) in enumerate(zip(want, got)):
+        for (wp, wk), (gp, gk) in zip(wl, gl):
+            assert wk == gk and wp == gp, f"frame {t}"
+
+
 def test_tpu_batch_decode_lossless():
     """Lane-major batched decode: independent streams decode in lockstep
     losslessly, with GOP context inheritance riding device states."""

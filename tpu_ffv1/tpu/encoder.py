@@ -720,51 +720,8 @@ class TPUFFV1Encoder:
                 return tuple(f.result() for f in futs)
 
             up_fut = self._upload_pool.submit(upload)
-
-            def work():
-                # runs on the single-worker executor: submits are
-                # processed strictly in order, so reading/advancing
-                # self.states here keeps the GOP context chain intact
-                with phase_timer("tpu-enc", "wait-upload"):
-                    streams = up_fut.result()
-                states0 = jnp.full_like(self.states, 128) if keyframe \
-                    else self.states
-                with phase_timer("tpu-enc", "dispatch"):
-                    (out, counts, states_out, overflow, packed, low,
-                     rng, rowbytes) = self._frame_fn(
-                        streams, states0, jnp.asarray(lows),
-                        jnp.asarray(ranges), jnp.asarray(prefixes),
-                        jnp.asarray(plens))
-                self.states = states_out
-                # issue the result transfer NOW, before the next
-                # frame's scan is enqueued: device ops run in order, so
-                # a fetch submitted at collect time would wait behind
-                # every queued scan.  ONE slab RPC carries counts +
-                # overflow (the 5-byte head packed by the pipeline) +
-                # the speculative payload width — every extra
-                # device->host read is a full round trip on remote
-                # backends, and the previous counts + 4-way payload
-                # fetches cost more latency than the payload bytes.
-                if self.host_compact:
-                    spec = -1          # full static hostcompact slab
-                    slab_fut = self._xfer_pool.submit(
-                        lambda: np.asarray(out))
-                else:
-                    spec = min(self._last_cap, self.out_cap)
-                    slab_fut = self._xfer_pool.submit(
-                        lambda: np.asarray(out[:, :5 + spec]))
-                rowbytes_fut = (self._xfer_pool.submit(
-                    lambda: np.asarray(rowbytes))
-                    if rowbytes.shape[0] else None)
-                return dict(
-                    out=out, counts=counts, overflow=overflow,
-                    packed=packed, low=low, rng=rng, keyframe=keyframe,
-                    streams=streams, states0=states0, lows=lows,
-                    ranges=ranges, prefixes=prefixes, plens=plens,
-                    streams_np=streams_np, slab_fut=slab_fut,
-                    rowbytes_fut=rowbytes_fut, spec=spec)
-
-            self._pending.append(self._executor.submit(work))
+            self._submit_fast(up_fut, streams_np, keyframe, lows,
+                              ranges, prefixes, plens)
             self.picture_number += 1
             return
 
@@ -774,6 +731,79 @@ class TPUFFV1Encoder:
                                      prefixes, plens)
         self._pending.append(dict(payloads=payloads, keyframe=keyframe))
         self.picture_number += 1
+
+    def submit_device_frames(self, planes):
+        """Async submit for a DEVICE-RESIDENT source: ``planes`` is a
+        tuple of per-plane (batch, Hk, Wk) arrays already on the
+        device — the output of a device filtergraph stage, a decode
+        step, or any other on-device producer.  The host->device plane
+        upload is skipped entirely; only the compressed payload crosses
+        the link.  v4's PCM retry re-encodes from host pixels, so this
+        path requires version <= 3 (the range/Golomb device paths)."""
+        if self.rp.version > 3:
+            raise NotImplementedError(
+                "device-source submit needs version <= 3 (v4 PCM "
+                "retry re-encodes from host pixels)")
+        if self.golomb or not (self.fast or self.ext):
+            raise NotImplementedError(
+                "device-source submit requires the fused device "
+                "pipeline (range coder, uniform geometry)")
+        keyframe = (self.rp.gop_size == 0 or
+                    self.picture_number % self.rp.gop_size == 0)
+        lows, ranges, prefixes, plens = self._prefix_arrays(keyframe)
+        from concurrent.futures import Future
+        up_fut = Future()
+        up_fut.set_result(tuple(planes))
+        self._submit_fast(up_fut, None, keyframe, lows, ranges,
+                          prefixes, plens)
+        self.picture_number += 1
+
+    def _submit_fast(self, up_fut, streams_np, keyframe, lows, ranges,
+                     prefixes, plens):
+        def work():
+            # runs on the single-worker executor: submits are
+            # processed strictly in order, so reading/advancing
+            # self.states here keeps the GOP context chain intact
+            with phase_timer("tpu-enc", "wait-upload"):
+                streams = up_fut.result()
+            states0 = jnp.full_like(self.states, 128) if keyframe \
+                else self.states
+            with phase_timer("tpu-enc", "dispatch"):
+                (out, counts, states_out, overflow, packed, low,
+                 rng, rowbytes) = self._frame_fn(
+                    streams, states0, jnp.asarray(lows),
+                    jnp.asarray(ranges), jnp.asarray(prefixes),
+                    jnp.asarray(plens))
+            self.states = states_out
+            # issue the result transfer NOW, before the next
+            # frame's scan is enqueued: device ops run in order, so
+            # a fetch submitted at collect time would wait behind
+            # every queued scan.  ONE slab RPC carries counts +
+            # overflow (the 5-byte head packed by the pipeline) +
+            # the speculative payload width — every extra
+            # device->host read is a full round trip on remote
+            # backends, and the previous counts + 4-way payload
+            # fetches cost more latency than the payload bytes.
+            if self.host_compact:
+                spec = -1          # full static hostcompact slab
+                slab_fut = self._xfer_pool.submit(
+                    lambda: np.asarray(out))
+            else:
+                spec = min(self._last_cap, self.out_cap)
+                slab_fut = self._xfer_pool.submit(
+                    lambda: np.asarray(out[:, :5 + spec]))
+            rowbytes_fut = (self._xfer_pool.submit(
+                lambda: np.asarray(rowbytes))
+                if rowbytes.shape[0] else None)
+            return dict(
+                out=out, counts=counts, overflow=overflow,
+                packed=packed, low=low, rng=rng, keyframe=keyframe,
+                streams=streams, states0=states0, lows=lows,
+                ranges=ranges, prefixes=prefixes, plens=plens,
+                streams_np=streams_np, slab_fut=slab_fut,
+                rowbytes_fut=rowbytes_fut, spec=spec)
+
+        self._pending.append(self._executor.submit(work))
 
     def _submit_golomb(self, streams_np, keyframe: bool):
         cache = getattr(self, "_gprefix_cache", None)
