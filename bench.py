@@ -89,7 +89,7 @@ def bench_tpu(frames, budget_s=900.0):
     from tpu_ffv1.codec.params import EncoderParams
     from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
 
-    batch = int(os.environ.get("FFV1_BENCH_BATCH", "4"))
+    batch = int(os.environ.get("FFV1_BENCH_BATCH", "5"))
     enc = TPUFFV1Encoder(EncoderParams(
         width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
         slices=24), batch=batch)
@@ -188,7 +188,7 @@ def bench_tpu_device_source(frames, budget_s=600.0):
     from tpu_ffv1.codec.params import EncoderParams
     from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
 
-    batch = int(os.environ.get("FFV1_BENCH_BATCH", "4"))
+    batch = int(os.environ.get("FFV1_BENCH_BATCH", "5"))
     enc = TPUFFV1Encoder(EncoderParams(
         width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
         slices=24), batch=batch)
@@ -252,7 +252,7 @@ def bench_tpu_decode(frames, budget_s=600.0):
     from tpu_ffv1.codec.params import EncoderParams
     from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
 
-    batch = int(os.environ.get("FFV1_BENCH_BATCH", "4"))
+    batch = int(os.environ.get("FFV1_BENCH_BATCH", "5"))
 
     def mk_enc():
         return FFV1Encoder(EncoderParams(
@@ -309,7 +309,7 @@ def bench_pframe_720p(budget_s=600.0):
     from tpu_ffv1.pframe.tpu import TPUFFV1PEncoder
 
     W, H = 1280, 720
-    batch = int(os.environ.get("FFV1_BENCH_BATCH", "4"))
+    batch = int(os.environ.get("FFV1_BENCH_BATCH", "5"))
     rng = np.random.RandomState(1)
     base = (np.add.outer(np.arange(H + 64), np.arange(W + 64)) % 256)
     frames = []
@@ -482,13 +482,15 @@ def main():
     except Exception as e:
         log(f"host decode bench failed: {e}")
     mpix = enc_stats = None
-    for attempt in range(2):
+    skip_hostsrc = os.environ.get("FFV1_BENCH_SKIP_HOSTSRC",
+                                  "0") in ("1", "true")
+    for attempt in range(2 if not skip_hostsrc else 0):
         try:
             mpix, enc_stats = bench_tpu(frames)
             break
         except Exception as e:
             log(f"tpu bench attempt {attempt} failed ({e})")
-    if mpix is None:
+    if mpix is None and not skip_hostsrc:
         log("tpu unavailable; reporting host path")
         mpix = bench_host(frames)
     dev_mpix = dev_stats = None
@@ -528,9 +530,10 @@ def main():
         # same-run comparisons + step statistics so the headline is
         # traceable inside THIS artifact (medians over distinct steady
         # steps; encode lanes = 4 streams x 24 slices)
-        "host_source_e2e_mpix_s": round(mpix, 3),
         "encode_steps": enc_stats,
     }
+    if mpix is not None:
+        out["host_source_e2e_mpix_s"] = round(mpix, 3)
     if dev_stats is not None:
         out["device_source_steps"] = dev_stats
     if link is not None:

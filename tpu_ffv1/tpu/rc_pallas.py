@@ -53,17 +53,29 @@ from jax.experimental.pallas import tpu as pltpu
 from .rc_scan_fast import chain_order_nosign
 
 
-def _kernel(bits, L, CC, CH, S, order, compact,
+def _kernel(bits, L, CC, CH, S, order, compact, wide,
             ctx_ref, diff_ref, act_ref, t1_ref, states0_ref,
             low0_ref, rng0_ref,
             prov_ref, lowout_ref, rngout_ref, statesout_ref,
-            states, lowv, rngv):
+            states, lowv, rngv, stage, dsem):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
+    sdt = jnp.int32 if wide else jnp.int8
+    # states0/statesout live in HBM (memory_space=ANY): keeping the
+    # (L, CC, 128) int8 planes VMEM-resident costs 2 x L*CC*128 bytes of
+    # scoped VMEM for two single-use copies; instead they stream through
+    # a small staging buffer at init/fin (the int32 scratch at 120 lanes
+    # already needs ~80 MB of the 128 MB budget)
+    SCH = stage.shape[0]
 
     @pl.when(step == 0)
     def _init():
-        states[...] = states0_ref[...]
+        for k in range(L // SCH):
+            dma = pltpu.make_async_copy(
+                states0_ref.at[pl.ds(k * SCH, SCH)], stage, dsem)
+            dma.start()
+            dma.wait()
+            states[pl.ds(k * SCH, SCH)] = stage[...].astype(sdt)
         lowv[...] = low0_ref[...]
         rngv[...] = rng0_ref[...]
 
@@ -186,13 +198,13 @@ def _kernel(bits, L, CC, CH, S, order, compact,
             new_rowsT.astype(jnp.bfloat16), eye32,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32) & 0xFF
-        new_rows8 = new_rows8.astype(jnp.int8)
+        new_rows8 = new_rows8.astype(sdt)
 
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         lane_lt32 = lane128 < 32                         # static mask
         if L % 8:
             new_rows8 = jnp.concatenate(
-                [new_rows8, jnp.zeros((8 - L % 8, 32), jnp.int8)], axis=0)
+                [new_rows8, jnp.zeros((8 - L % 8, 32), sdt)], axis=0)
         # lane-replicate ONCE (1 op) — the per-lane loop then extracts
         # an already-replicated (1, 128) row; wmask's lane_lt32 restricts
         # the merge to the real 32 slots, so replication garbage beyond
@@ -271,7 +283,12 @@ def _kernel(bits, L, CC, CH, S, order, compact,
     def _fin():
         lowout_ref[...] = lowv[...]
         rngout_ref[...] = rngv[...]
-        statesout_ref[...] = states[...]
+        for k in range(L // SCH):
+            stage[...] = states[pl.ds(k * SCH, SCH)].astype(jnp.int8)
+            dma = pltpu.make_async_copy(
+                stage, statesout_ref.at[pl.ds(k * SCH, SCH)], dsem)
+            dma.start()
+            dma.wait()
 
 
 def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
@@ -292,8 +309,16 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
     del zero_tab
     t1_tab = one_tab.astype(jnp.int32)[:, None]   # (256, 1)
 
+    # int32 state scratch ("wide"): an (8, 128) int32 block is exactly
+    # one VREG, so the per-lane dynamic row slices in the read/write
+    # loops avoid the int8 quarter-tile repack Mosaic inserts around
+    # sub-vreg slices.  4x the VMEM (fits comfortably to ~160 lanes
+    # under the 100 MB budget); gated for A/B measurement.
+    import os as _os
+    wide = _os.environ.get("FFV1_PALLAS_WIDE", "1") not in ("0", "false")
+    SCH = next(c for c in (8, 4, 2, 1) if L % c == 0)
     kernel = functools.partial(_kernel, bits, L, CC, chunk, S, order,
-                               compact)
+                               compact, wide)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nsteps,),
@@ -305,7 +330,7 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
             pl.BlockSpec((chunk, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),      # act
             pl.BlockSpec(memory_space=pltpu.VMEM),      # t1
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # states0
+            pl.BlockSpec(memory_space=pltpu.ANY),       # states0 (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # low0
             pl.BlockSpec(memory_space=pltpu.VMEM),      # range0
         ],
@@ -314,12 +339,15 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
                          memory_space=pltpu.VMEM),      # prov (packed)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # low out
             pl.BlockSpec(memory_space=pltpu.VMEM),      # range out
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # states out
+            pl.BlockSpec(memory_space=pltpu.ANY),       # states out (HBM)
         ],
         scratch_shapes=[
-            pltpu.VMEM((L, CC, 128), jnp.int8),         # states
+            pltpu.VMEM((L, CC, 128),
+                       jnp.int32 if wide else jnp.int8),  # states
             pltpu.VMEM((1, L), jnp.int32),              # low
             pltpu.VMEM((1, L), jnp.int32),              # range
+            pltpu.VMEM((SCH, CC, 128), jnp.int8),       # DMA staging
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     # pack rows: row c -> [sublane c of (L, CC, 128), lanes 0:32]
@@ -330,8 +358,9 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
         grid_spec=grid_spec,
         # default scoped-vmem budget is 16 MB; v5e has 128 MB.  Large
         # lane counts (stream batch >= 8: states scratch alone is
-        # L*CC*128 int8 ~ 8 MB) need more headroom
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        # L*CC*128 int8 ~ 8 MB) need more headroom; the wide (int32)
+        # scratch at 120+ lanes needs nearly all of it
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=116 << 20),
         out_shape=[
             jax.ShapeDtypeStruct((N, SOUT, L), jnp.int32),
             jax.ShapeDtypeStruct((1, L), jnp.int32),
