@@ -301,6 +301,61 @@ def bench_tpu_decode(frames, budget_s=600.0):
         max_ms=round(step_ms[-1], 1), n_steps=len(step_ms))
 
 
+def bench_tpu_decode_sink(frames, budget_s=400.0):
+    """Decode with a DEVICE-RESIDENT sink: packets go up, planes stay
+    in HBM (TPUFFV1Decoder(device_out=True)) for an on-device consumer
+    (transcode/filter/ML ingest).  Isolates decode compute from this
+    rig's tunnel-bound 12 MB/step plane download."""
+    from tpu_ffv1.codec.encoder import FFV1Encoder
+    from tpu_ffv1.codec.params import EncoderParams
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+
+    batch = int(os.environ.get("FFV1_BENCH_BATCH", "5"))
+
+    def mk_enc():
+        return FFV1Encoder(EncoderParams(
+            width=1920, height=1080, pix_fmt="yuv420p", level=3,
+            coder=2, slices=24))
+
+    streams = []
+    for bi in range(batch):
+        senc = mk_enc()
+        streams.append([senc.encode_frame(f)[0]
+                        for f in synth_1080p(seed=bi)])
+    dec = TPUFFV1Decoder(1920, 1080, mk_enc().extradata, batch=batch,
+                         device_out=True)
+    nf = len(streams[0])
+
+    def step_pkts(k):
+        return [streams[i][k % nf] for i in range(batch)]
+
+    t0 = time.time()
+    dec.decode_frames(step_pkts(0))
+    log(f"decode-sink first step (compile): {time.time() - t0:.1f}s")
+    depth = int(os.environ.get("FFV1_BENCH_DEPTH", "2"))
+    n_steps = 8
+    steps = []
+    t0 = time.time()
+    for d in range(depth):
+        dec.submit_frames(step_pkts(1 + d))
+    for k in range(depth + 1, n_steps + depth + 1):
+        dec.collect_frames()
+        steps.append(time.time() - t0)
+        t0 = time.time()
+        if k < n_steps + 1:
+            dec.submit_frames(step_pkts(k))
+        if sum(steps) > budget_s and not dec._pending:
+            break
+    step_ms = sorted(s * 1000 for s in steps)
+    med = step_ms[len(step_ms) // 2]
+    log(f"tpu decode-sink steady: median {med:.0f} ms/step, "
+        f"min {step_ms[0]:.0f} ({batch} frames/step)")
+    return batch * 1920 * 1080 / (med / 1000) / 1e6, dict(
+        median_ms=round(med, 1), min_ms=round(step_ms[0], 1),
+        max_ms=round(step_ms[-1], 1), n_steps=len(step_ms),
+        frames_per_step=batch)
+
+
 def bench_pframe_720p(budget_s=600.0):
     """BASELINE config 4: 720p P-frame encode on the device pipeline
     (motion search + OBMC + residual + MV section all on device,
@@ -500,12 +555,18 @@ def main():
     except Exception as e:
         log(f"device-source bench failed ({e})")
     dec_mpix = dec_stats = None
+    sink_mpix = sink_stats = None
     if os.environ.get("FFV1_BENCH_SKIP_DECODE", "0") not in ("1", "true"):
         try:
             dec_mpix, dec_stats = bench_tpu_decode(frames)
             log(f"tpu decode: {dec_mpix:.2f} Mpixel/s")
         except Exception as e:
             log(f"tpu decode bench failed ({e})")
+        try:
+            sink_mpix, sink_stats = bench_tpu_decode_sink(frames)
+            log(f"tpu decode-sink: {sink_mpix:.2f} Mpixel/s")
+        except Exception as e:
+            log(f"tpu decode-sink bench failed ({e})")
     p_mpix = p_stats = None
     if os.environ.get("FFV1_BENCH_SKIP_PFRAME", "0") not in ("1", "true"):
         try:
@@ -554,6 +615,9 @@ def main():
     if dec_mpix is not None:
         out["decode_mpix_s"] = round(dec_mpix, 3)
         out["decode_steps"] = dec_stats
+    if sink_mpix is not None:
+        out["decode_device_sink_mpix_s"] = round(sink_mpix, 3)
+        out["decode_sink_steps"] = sink_stats
     if p_mpix is not None:
         out["pframe_720p_mpix_s"] = round(p_mpix, 3)
         out["pframe_steps"] = p_stats

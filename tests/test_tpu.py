@@ -203,6 +203,35 @@ def test_tpu_device_source_byte_exact():
             assert wk == gk and wp == gp, f"frame {t}"
 
 
+def test_tpu_device_transcode_chain():
+    """Full on-device transcode: TPUFFV1Decoder(device_out=True) planes
+    feed TPUFFV1Encoder.submit_device_frames directly — no pixel ever
+    crosses to the host.  The re-encoded packets must equal encoding
+    the original frames (lossless decode => identical input pixels)."""
+    frames = _frames(8, seed=23)
+    src_params = EncoderParams(width=W, height=H, pix_fmt="yuv420p",
+                               level=3, coder=2, slices=4)
+    src = FFV1Encoder(src_params)
+    pkts = [src.encode_frame(f)[0] for f in frames]
+
+    out_params = EncoderParams(width=W, height=H, pix_fmt="yuv420p",
+                               level=3, coder=2, slices=4, gop_size=2)
+    want = [FFV1Encoder(out_params)]
+    wpk = []
+    for f in frames:
+        wpk.append(want[0].encode_frame(f))
+
+    dec = TPUFFV1Decoder(W, H, src.extradata, device_out=True)
+    enc = TPUFFV1Encoder(out_params)
+    got = []
+    for pkt in pkts:
+        planes, _kf = dec.decode_frames([pkt])
+        enc.submit_device_frames(planes)
+        got.append(enc.collect_frames()[0])
+    for t, ((wp, wk), (gp, gk)) in enumerate(zip(wpk, got)):
+        assert wk == gk and wp == gp, f"frame {t}"
+
+
 def test_tpu_batch_decode_lossless():
     """Lane-major batched decode: independent streams decode in lockstep
     losslessly, with GOP context inheritance riding device states."""

@@ -87,7 +87,13 @@ class TPUFFV1Decoder:
     """
 
     def __init__(self, width: int, height: int, extradata: bytes,
-                 batch: int = 1, mesh=None):
+                 batch: int = 1, mesh=None, device_out: bool = False):
+        """``device_out``: collect_frames returns the decoded planes as
+        stacked (batch, Hk, Wk) DEVICE arrays instead of per-stream
+        host numpy — the shape TPUFFV1Encoder.submit_device_frames
+        consumes, so a decode->encode transcode chain keeps every pixel
+        in HBM.  Damage concealment needs host pixels, so a CRC/
+        sentinel failure raises in this mode instead of concealing."""
         g = read_extra_header(extradata)
         self.golomb = g.ac == T.AC_GOLOMB_RICE
         self.rgb = g.colorspace == 1
@@ -162,6 +168,11 @@ class TPUFFV1Decoder:
                 "and bits <= 10; use the host decoder otherwise")
         # device VLC states for the Golomb path (drift, error_sum,
         # bias, count), GOP-persistent like the range-coder states
+        self.device_out = device_out
+        if device_out and (self.golomb or self.rgb or not self.uniform):
+            raise NotImplementedError(
+                "device_out requires the fused planar range-coder "
+                "decode path (uniform grid, coded width <= 10)")
         self.vlc_states = None
         # per-stream host state
         self.key_frame_ok = [False] * batch
@@ -423,14 +434,17 @@ class TPUFFV1Decoder:
                     x = ((x << (16 - self.bits)) & 0xFFFF) \
                         .astype(jnp.uint16)
                 planes_full.append(x)
-            plane_futs = [self._xfer_pool.submit(
-                lambda a=pl: np.asarray(a)) for pl in planes_full]
+            plane_futs = None if self.device_out else \
+                [self._xfer_pool.submit(lambda a=pl: np.asarray(a))
+                 for pl in planes_full]
             lrp = jnp.stack([low, rng, pos])     # one fetch RPC
             lrp_fut = self._xfer_pool.submit(
                 lambda: tuple(np.asarray(lrp)))
             return dict(plane_futs=plane_futs, lrp_fut=lrp_fut,
                         keyframes=keyframes, parsed=parsed,
-                        buflens=buflens, specs=specs)
+                        buflens=buflens, specs=specs,
+                        planes_dev=(tuple(planes_full)
+                                    if self.device_out else None))
 
         self._pending.append(self._executor.submit(work))
 
@@ -574,6 +588,18 @@ class TPUFFV1Decoder:
                         raise ValueError("bytestream end mismatch")
                 except (ValueError, IndexError):
                     self.slice_damaged[bi, si] = True
+
+        if p.get("planes_dev") is not None:
+            # device-sink mode: planes stay in HBM, shaped for
+            # TPUFFV1Encoder.submit_device_frames (transcode chain).
+            # Concealment re-encodes from host pixels, so damage is
+            # fatal here — the caller opted out of host round-trips.
+            if self.slice_damaged.any():
+                raise RuntimeError(
+                    "damaged slice in device_out mode; decode with "
+                    "device_out=False to conceal from the previous "
+                    "frame")
+            return p["planes_dev"], keyframes
 
         full_planes = [f.result() for f in p["plane_futs"]]
         results = []

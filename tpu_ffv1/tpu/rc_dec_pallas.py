@@ -53,14 +53,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(bits, L, w, h, Wpad, capw, pbase, five,
+def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide,
             bufs_ref, t1_ref, qt0_ref, qt1_ref, qt2_ref, qt3_ref,
             qt4_ref, states0_ref,
             low0_ref, rng0_ref, pos0_ref,
             out_ref, lowout_ref, rngout_ref, posout_ref, statesout_ref,
             states, rowbuf, rowbuf2, lows, rngs, poss, win, fills,
-            plft_ref, ctxv, minf):
+            plft_ref, ctxv, minf, stage, dsem):
     y = pl.program_id(0)
+    sdt = jnp.int32 if wide else jnp.int8
+    SCH = stage.shape[0]
     e_max = bits - 1
     mask_v = (1 << bits) - 1
     ngroups = Wpad // 8
@@ -123,7 +125,15 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five,
 
     @pl.when(y == 0)
     def _init():
-        states[...] = states0_ref[...]
+        # states0 lives in HBM (ANY) and streams through the staging
+        # buffer — see rc_pallas.py: the wide int32 scratch needs the
+        # VMEM the whole-plane int8 in/out copies would pin
+        for k in range(L // SCH):
+            dma = pltpu.make_async_copy(
+                states0_ref.at[pl.ds(k * SCH, SCH)], stage, dsem)
+            dma.start()
+            dma.wait()
+            states[pl.ds(k * SCH, SCH)] = stage[...].astype(sdt)
         lows[...] = low0_ref[...]
         rngs[...] = rng0_ref[...]
         poss[...] = pos0_ref[...]
@@ -301,10 +311,10 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(jnp.int32) \
                 & 0xFF
-            new_rows8 = new_rows8.astype(jnp.int8)
+            new_rows8 = new_rows8.astype(sdt)
             if L % 8:
                 new_rows8 = jnp.concatenate(
-                    [new_rows8, jnp.zeros((8 - L % 8, 32), jnp.int8)], 0)
+                    [new_rows8, jnp.zeros((8 - L % 8, 32), sdt)], 0)
             # lane-replicate once; wmask's lane_lt32 keeps the merge to
             # the real 32 slots (see rc_pallas.py write loop)
             new_rows128 = jnp.concatenate([new_rows8] * 4, axis=1)
@@ -348,29 +358,44 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five,
         lowout_ref[...] = lows[...]
         rngout_ref[...] = rngs[...]
         posout_ref[...] = poss[...]
-        statesout_ref[...] = states[...]
+        for k in range(L // SCH):
+            stage[...] = states[pl.ds(k * SCH, SCH)].astype(jnp.int8)
+            dma = pltpu.make_async_copy(
+                stage, statesout_ref.at[pl.ds(k * SCH, SCH)], dsem)
+            dma.start()
+            dma.wait()
 
 
 def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2, qt3, qt4,
                     low, rng, pos, w, h, pbase, bits, L, CC, five):
     Wpad = -(-w // 8) * 8
     capw = bufw.shape[0]
+    import os as _os
+    # decode measured ~10% SLOWER with the int32 scratch (unlike
+    # encode): its group-serial body already hides the int8 repack
+    # latency, while the 4x scratch pressures the row/window buffers.
+    # The HBM-staged states IO is kept (pure VMEM win); wide is opt-in.
+    wide = _os.environ.get("FFV1_PALLAS_DEC_WIDE", "0")         not in ("0", "false")
+    SCH = next(c for c in (8, 4, 2, 1) if L % c == 0)
     kernel = functools.partial(_kernel, bits, L, w, h, Wpad, capw, pbase,
-                               five)
+                               five, wide)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(h,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7 +
+                 [pl.BlockSpec(memory_space=pltpu.ANY)] +   # states (HBM)
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[
             pl.BlockSpec((1, Wpad, L), lambda y: (y, 0, 0),
                          memory_space=pltpu.VMEM),   # plane rows
             pl.BlockSpec(memory_space=pltpu.VMEM),   # low
             pl.BlockSpec(memory_space=pltpu.VMEM),   # range
             pl.BlockSpec(memory_space=pltpu.VMEM),   # pos
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # states
+            pl.BlockSpec(memory_space=pltpu.ANY),    # states (HBM)
         ],
         scratch_shapes=[
-            pltpu.VMEM((L, CC, 128), jnp.int8),      # states
+            pltpu.VMEM((L, CC, 128),
+                       jnp.int32 if wide else jnp.int8),  # states
             pltpu.VMEM((Wpad + 16, L), jnp.int32),   # row buffer
             pltpu.VMEM((Wpad + 16, L), jnp.int32),   # y-2 row (5-input)
             pltpu.VMEM((1, L), jnp.int32),           # low
@@ -381,12 +406,14 @@ def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2, qt3, qt4,
             pltpu.VMEM((1, L), jnp.int32),           # prev-prev left
             pltpu.VMEM((1, L), jnp.int32),           # ctx scalarizer
             pltpu.SMEM((1, 1), jnp.int32),           # min fill
+            pltpu.VMEM((SCH, CC, 128), jnp.int8),    # DMA staging
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=116 << 20),
         out_shape=[
             jax.ShapeDtypeStruct((h, Wpad, L), jnp.int32),
             jax.ShapeDtypeStruct((1, L), jnp.int32),
