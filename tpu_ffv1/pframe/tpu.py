@@ -439,7 +439,7 @@ class TPUFFV1PDecoder:
         lows = np.zeros(L, np.int32)
         ranges = np.zeros(L, np.int32)
         poss = np.zeros(L, np.int32)
-        for bi, (kf, sl) in enumerate(parsed):
+        for bi, (kf, sl, _ex) in enumerate(parsed):
             for si, (buf, qidx, lo, ra, po) in enumerate(sl):
                 lane = bi * b.n_slices + si
                 src = RangeDecoder(buf)
@@ -564,10 +564,10 @@ class TPUFFV1PDecoder:
         if self.p_states is None:
             self.p_states = jnp.asarray(np.tile(
                 b._fresh_states(0)[None], (self.L, 1, 1)))
-        maxlen = max(len(s[0]) for _, sl in parsed for s in sl)
+        maxlen = max(len(s[0]) for _, sl, _e in parsed for s in sl)
         cap = max(4096, 1 << (maxlen - 1).bit_length())
         bufs = np.zeros((self.L, cap), np.uint8)
-        for bi, (kf, sl) in enumerate(parsed):
+        for bi, (kf, sl, _ex) in enumerate(parsed):
             for si, (buf, *_r) in enumerate(sl):
                 lane = bi * b.n_slices + si
                 bufs[lane, :len(buf)] = np.frombuffer(buf, np.uint8)
@@ -582,7 +582,7 @@ class TPUFFV1PDecoder:
         from ..core.rac import RangeDecoder
         low_np, rng_np, pos_np = (np.asarray(low), np.asarray(rng),
                                   np.asarray(pos))
-        for bi, (kf, sl) in enumerate(parsed):
+        for bi, (kf, sl, _ex) in enumerate(parsed):
             for si, (buf, *_r) in enumerate(sl):
                 lane = bi * b.n_slices + si
                 src = RangeDecoder(buf)

@@ -402,11 +402,26 @@ class TPUFFV1Decoder:
                         jnp.asarray(ranges), jnp.asarray(poss), specs,
                         self.bits, five)
             elif self.use_pallas:
-                planes_dev, states_out, low, rng, pos = \
-                    rc_decode_planes_pallas(
-                        db, states0, self.one_tab, self.zero_tab, qt,
-                        jnp.asarray(lows), jnp.asarray(ranges),
-                        jnp.asarray(poss), specs, self.bits, five)
+                try:
+                    planes_dev, states_out, low, rng, pos = \
+                        rc_decode_planes_pallas(
+                            db, states0, self.one_tab, self.zero_tab,
+                            qt, jnp.asarray(lows), jnp.asarray(ranges),
+                            jnp.asarray(poss), specs, self.bits, five)
+                except Exception:
+                    # Mosaic/compile errors surface at first dispatch;
+                    # the XLA lane scan is byte-identical — fall back
+                    # once instead of failing the run
+                    from ..log import WARNING, log
+                    log(WARNING, "tpu-dec", "Pallas decode kernel "
+                        "failed to compile; falling back to the XLA "
+                        "scan path")
+                    self.use_pallas = False
+                    planes_dev, states_out, low, rng, pos = \
+                        rc_decode_planes_lanes(
+                            db, states0, self.one_tab, self.zero_tab,
+                            qt, jnp.asarray(lows), jnp.asarray(ranges),
+                            jnp.asarray(poss), specs, self.bits, five)
             else:
                 planes_dev, states_out, low, rng, pos = \
                     rc_decode_planes_lanes(

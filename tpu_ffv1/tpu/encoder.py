@@ -769,11 +769,32 @@ class TPUFFV1Encoder:
             states0 = jnp.full_like(self.states, 128) if keyframe \
                 else self.states
             with phase_timer("tpu-enc", "dispatch"):
-                (out, counts, states_out, overflow, packed, low,
-                 rng, rowbytes) = self._frame_fn(
-                    streams, states0, jnp.asarray(lows),
-                    jnp.asarray(ranges), jnp.asarray(prefixes),
-                    jnp.asarray(plens))
+                try:
+                    (out, counts, states_out, overflow, packed, low,
+                     rng, rowbytes) = self._frame_fn(
+                        streams, states0, jnp.asarray(lows),
+                        jnp.asarray(ranges), jnp.asarray(prefixes),
+                        jnp.asarray(plens))
+                except Exception:
+                    # Mosaic/compile errors surface synchronously at
+                    # the first dispatch; the XLA scan path is
+                    # byte-identical, so fall back once rather than
+                    # fail the whole run (kernel support varies across
+                    # TPU generations/toolchains)
+                    if not self.use_pallas:
+                        raise
+                    from ..log import WARNING, log
+                    log(WARNING, "tpu-enc", "Pallas kernel failed to "
+                        "compile; falling back to the XLA scan path")
+                    self.use_pallas = False
+                    self._frame_fn = jax.jit(
+                        self._frame_pipeline,
+                        static_argnames=("use_pallas",))
+                    (out, counts, states_out, overflow, packed, low,
+                     rng, rowbytes) = self._frame_fn(
+                        streams, states0, jnp.asarray(lows),
+                        jnp.asarray(ranges), jnp.asarray(prefixes),
+                        jnp.asarray(plens))
             self.states = states_out
             # issue the result transfer NOW, before the next
             # frame's scan is enqueued: device ops run in order, so

@@ -53,7 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide,
+def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide, gather,
             bufs_ref, t1_ref, qt0_ref, qt1_ref, qt2_ref, qt3_ref,
             qt4_ref, states0_ref,
             low0_ref, rng0_ref, pos0_ref,
@@ -80,7 +80,24 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide,
         .astype(jnp.float32)
 
     def tree(tab_ref, idx):
-        """tab[idx] for (1, L) idx in [0, 255] via arithmetic selects."""
+        """tab[idx] for (1, L) idx in [0, 255]: two lane-dimension
+        dynamic_gathers over the (2, 128) row-form table + an
+        arithmetic select on the high bit (~5 VPU ops vs ~40 for the
+        round-2 sublane binary-select tree, kept below as the
+        FFV1_PALLAS_GATHER=0 fallback; the table is shared across
+        lanes, so its entries live in the LANE axis — see
+        rc_pallas.lookup_one)."""
+        if gather:
+            i7 = idx & 127
+            if L != 128:
+                i7 = jnp.concatenate(
+                    [i7, jnp.zeros((1, 128 - L), jnp.int32)], axis=1)
+            g_lo = jnp.take_along_axis(tab_ref[0:1, :], i7, axis=1)
+            g_hi = jnp.take_along_axis(tab_ref[1:2, :], i7, axis=1)
+            if L != 128:
+                g_lo = g_lo[:, :L]
+                g_hi = g_hi[:, :L]
+            return g_lo + (g_hi - g_lo) * ((idx >> 7) & 1)
         lo = tab_ref[pl.ds(0, 128), :]
         hi = tab_ref[pl.ds(128, 128), :]
         c = lo + (hi - lo) * ((idx >> 7) & 1)
@@ -223,8 +240,15 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide,
                 bases.append(base)
                 block = states[lane, pl.ds(base, 8), :]
                 sub = ci & 7
-                rowfull = jnp.sum(jnp.where(iota8 == sub, block, 0),
-                                  axis=0, keepdims=True)
+                if wide and gather:
+                    # one dim-0 (8, 128) int32 gather (see rc_pallas)
+                    rowfull = jnp.take_along_axis(
+                        block, jnp.broadcast_to(sub, (8, 128)),
+                        axis=0)[0:1]
+                else:
+                    rowfull = jnp.sum(
+                        jnp.where(iota8 == sub, block, 0),
+                        axis=0, keepdims=True)
                 row_list.append(rowfull[:, :32])
                 blocks.append(block)
                 subs.append(sub)
@@ -236,9 +260,30 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide,
                 & 0xFF                                    # (32, L)
 
             def win_byte(p):
-                d = iota32s - ((p >> 2) & 31)
-                word = jnp.sum(win[...] * jnp.maximum(0, 1 - d * d),
-                               axis=0, keepdims=True)
+                row = (p >> 2) & 31                    # (1, L)
+                if gather:
+                    # word-row select: 4 static (8, L) window quarters,
+                    # each resolved by ONE dim-0 dynamic_gather (the
+                    # only sublane-gather shape v5e Mosaic compiles is
+                    # (8, 128) int32 — probed), then a 2-level
+                    # arithmetic select on the quarter index.  ~12 ops
+                    # on 1-vreg operands vs ~26 for the (32, L) one-hot
+                    # reduce this replaces; win_byte runs once per rac
+                    # step (~17-21x per pixel), so it is the chain's
+                    # single largest vector cost.
+                    sub = jnp.broadcast_to(row & 7, (8, L))
+                    g = [jnp.take_along_axis(
+                        win[pl.ds(8 * k, 8), :], sub, axis=0)[0:1, :]
+                        for k in range(4)]
+                    b3 = (row >> 3) & 1
+                    b4 = (row >> 4) & 1
+                    c0 = g[0] + (g[1] - g[0]) * b3
+                    c1 = g[2] + (g[3] - g[2]) * b3
+                    word = c0 + (c1 - c0) * b4
+                else:
+                    d = iota32s - row
+                    word = jnp.sum(win[...] * jnp.maximum(0, 1 - d * d),
+                                   axis=0, keepdims=True)
                 return (word >> ((p & 3) * 8)) & 0xFF
 
             def rac(s, low, rng, pos, act):
@@ -375,10 +420,13 @@ def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2, qt3, qt4,
     # encode): its group-serial body already hides the int8 repack
     # latency, while the 4x scratch pressures the row/window buffers.
     # The HBM-staged states IO is kept (pure VMEM win); wide is opt-in.
-    wide = _os.environ.get("FFV1_PALLAS_DEC_WIDE", "0")         not in ("0", "false")
+    wide = _os.environ.get("FFV1_PALLAS_DEC_WIDE", "0") \
+        not in ("0", "false")
+    gather = _os.environ.get("FFV1_PALLAS_GATHER", "1") \
+        not in ("0", "false")
     SCH = next(c for c in (8, 4, 2, 1) if L % c == 0)
     kernel = functools.partial(_kernel, bits, L, w, h, Wpad, capw, pbase,
-                               five, wide)
+                               five, wide, gather)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(h,),
@@ -450,13 +498,19 @@ def rc_decode_planes_pallas(bufs, states, one_tab, zero_tab, qt,
     CC = NB * 8
     states_pad = jnp.pad(states.astype(jnp.int8),
                          ((0, 0), (0, CC - CC_real), (0, 96)))
-    t1 = one_tab.astype(jnp.int32)[:, None]
+    # (2, 128) row form for the lane-gather lookups (see tree());
+    # (256, 1) sublane column form for the tree fallback
+    import os as _os
+    gather = _os.environ.get("FFV1_PALLAS_GATHER", "1") \
+        not in ("0", "false")
+    shp = (2, 128) if gather else (256, 1)
+    t1 = one_tab.astype(jnp.int32).reshape(shp)
     del zero_tab   # derived via the single-table identity
-    qt0 = qt[0][:, None]
-    qt1 = qt[1][:, None]
-    qt2 = qt[2][:, None]
-    qt3 = qt[3][:, None]
-    qt4 = qt[4][:, None]
+    qt0 = qt[0].reshape(shp)
+    qt1 = qt[1].reshape(shp)
+    qt2 = qt[2].reshape(shp)
+    qt3 = qt[3].reshape(shp)
+    qt4 = qt[4].reshape(shp)
 
     low = low0[None, :].astype(jnp.int32)
     rng = range0[None, :].astype(jnp.int32)

@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .rc_scan_fast import chain_order_nosign
 
 
-def _kernel(bits, L, CC, CH, S, order, compact, wide,
+def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
             ctx_ref, diff_ref, act_ref, t1_ref, states0_ref,
             low0_ref, rng0_ref,
             prov_ref, lowout_ref, rngout_ref, statesout_ref,
@@ -91,13 +91,26 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide,
     def lookup_one(idx):
         """one_tab[idx] for idx (1, L) int32 in [0, 255] -> (1, L) int32.
 
-        Binary-select tree over sublane halves of the (256, 1) int32
-        table.  Selects are ARITHMETIC (lo + (hi-lo)*bit): broadcasting
-        an i1 mask from (K,1)x(1,L) operands trips a Mosaic relayout
-        ("non-singleton dim replicated in destination"), while int
-        multiply-adds broadcast fine.  All slices are 8-aligned (Mosaic
-        requirement); the last 3 index bits resolve via an arithmetic
-        one-hot (max(0, 1-d^2)) 8-sublane reduction."""
+        The table is SHARED across lanes, so a 256-entry lookup is two
+        lane-dimension dynamic_gathers (tpu.dynamic_gather, dims=[1]:
+        y[s,j] = x[s, idx[s,j]] — table entries sit in the LANE axis of
+        a (1, 128) row, data lanes index it) + one arithmetic select on
+        the high index bit.  ~5 VPU ops, vs ~40 for the round-2
+        binary-select tree over a (256, 1) sublane table (kept as the
+        FFV1_PALLAS_GATHER=0 fallback: dim-1 int32 gather is probed
+        green on v5e at (8,128)/(32,128) but Mosaic support varies by
+        shape/backend)."""
+        if gather:
+            i7 = idx & 127
+            if L != 128:
+                i7 = jnp.concatenate(
+                    [i7, jnp.zeros((1, 128 - L), jnp.int32)], axis=1)
+            g_lo = jnp.take_along_axis(t1_ref[0:1, :], i7, axis=1)
+            g_hi = jnp.take_along_axis(t1_ref[1:2, :], i7, axis=1)
+            if L != 128:
+                g_lo = g_lo[:, :L]
+                g_hi = g_hi[:, :L]
+            return g_lo + (g_hi - g_lo) * ((idx >> 7) & 1)
         lo = t1_ref[pl.ds(0, 128), :]                  # (128, 1) int32
         hi = t1_ref[pl.ds(128, 128), :]
         c = lo + (hi - lo) * ((idx >> 7) & 1)          # (128, L)
@@ -139,10 +152,18 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide,
             ci = ctx_ref[i, lane]
             base = pl.multiple_of((ci >> 3) * 8, 8)
             bases.append(base)
-            block = states[lane, pl.ds(base, 8), :]       # (8, 128) int8
+            block = states[lane, pl.ds(base, 8), :]    # (8, 128) sdt
             sub = ci & 7
-            rowfull = jnp.sum(jnp.where(iota8 == sub, block, 0), axis=0,
-                              keepdims=True)       # (1, 128) int8
+            if wide and gather:
+                # sublane select via ONE dim-0 dynamic_gather — the
+                # (8, 128) int32 shape is the one sublane-gather v5e
+                # Mosaic compiles (probed); saves the masked reduce's
+                # ~3 ops per lane per pixel
+                rowfull = jnp.take_along_axis(
+                    block, jnp.broadcast_to(sub, (8, 128)), axis=0)[0:1]
+            else:
+                rowfull = jnp.sum(jnp.where(iota8 == sub, block, 0),
+                                  axis=0, keepdims=True)   # (1, 128)
             row_list.append(rowfull[:, :32])
             blocks.append(block)
             subs.append(sub)
@@ -307,7 +328,14 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
     # normative identity (see module docstring); zero_tab stays in the
     # signature for API compatibility with the XLA kernels
     del zero_tab
-    t1_tab = one_tab.astype(jnp.int32)[:, None]   # (256, 1)
+    import os as _os
+    gather = _os.environ.get("FFV1_PALLAS_GATHER", "1") \
+        not in ("0", "false")
+    # (2, 128) row form: entries 0..127 / 128..255 in the LANE axis for
+    # the dynamic_gather lookup (see _kernel.lookup_one); the tree
+    # fallback wants the (256, 1) sublane column form
+    t1_tab = one_tab.astype(jnp.int32).reshape(2, 128) if gather \
+        else one_tab.astype(jnp.int32)[:, None]
 
     # int32 state scratch ("wide"): an (8, 128) int32 block is exactly
     # one VREG, so the per-lane dynamic row slices in the read/write
@@ -318,7 +346,7 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
     wide = _os.environ.get("FFV1_PALLAS_WIDE", "1") not in ("0", "false")
     SCH = next(c for c in (8, 4, 2, 1) if L % c == 0)
     kernel = functools.partial(_kernel, bits, L, CC, chunk, S, order,
-                               compact, wide)
+                               compact, wide, gather)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nsteps,),
