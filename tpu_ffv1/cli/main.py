@@ -109,6 +109,10 @@ def _is_nut(path):
     return path.lower().endswith(".nut")
 
 
+def _is_y4m(path):
+    return path.lower().endswith(".y4m")
+
+
 def _read_container(path):
     if _is_mkv(path):
         from ..io.mkv import read_mkv
@@ -167,15 +171,27 @@ def run(argv=None):
             frames = [convert(f, cur_fmt, args.pix_fmt, cur_w, cur_h)
                       for f in frames]
             conv += f" ({cur_fmt} -> {args.pix_fmt})"
-        raw_io.write_frames(args.output, frames)
+        if _is_y4m(args.output):
+            from ..io.y4m import write_y4m
+            write_y4m(args.output, frames, args.pix_fmt, cur_w, cur_h)
+        else:
+            raw_io.write_frames(args.output, frames)
         what = f"decoded {len(frames)} frames {cur_w}x{cur_h}{conv}"
     else:
         # ---- encode path ----
-        if not args.size:
-            sys.exit("error: -s WxH is required for rawvideo input")
-        w, h = (int(v) for v in args.size.split("x"))
-        in_fmt = args.in_pix_fmt or args.pix_fmt
-        frames = raw_io.read_frames(args.input, in_fmt, w, h)
+        if _is_y4m(args.input):
+            # self-describing input: geometry + pix_fmt from the header
+            from ..io.y4m import read_y4m
+            frames, in_fmt, w, h, _fps = read_y4m(args.input)
+            if args.in_pix_fmt and args.in_pix_fmt != in_fmt:
+                sys.exit(f"error: -in_pix_fmt {args.in_pix_fmt} != y4m "
+                         f"stream format {in_fmt}")
+        else:
+            if not args.size:
+                sys.exit("error: -s WxH is required for rawvideo input")
+            w, h = (int(v) for v in args.size.split("x"))
+            in_fmt = args.in_pix_fmt or args.pix_fmt
+            frames = raw_io.read_frames(args.input, in_fmt, w, h)
         if args.frames is not None:
             frames = frames[:args.frames]
         if args.vf:
