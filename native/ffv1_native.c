@@ -598,7 +598,7 @@ API int64_t ffv1n_decode_plane(
         } else {
             for (x = 0; x < w; x++)
                 ((uint16_t *)(dst + stride * y))[(size_t)x * pixel_stride] =
-                    (uint16_t)(sample[1][x] << (16 - bits));
+                    (uint16_t)((uint32_t)sample[1][x] << (16 - bits));
         }
     }
     free(sbuf);

@@ -14,7 +14,11 @@ import numpy as np
 
 _DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "native")
-_LIB_PATH = os.path.join(_DIR, "libffv1native.so")
+# FFV1_NATIVE_LIB selects an alternate build of the same runtime —
+# the sanitizer harness points it at libffv1native_san.so (the
+# configure *-asan/-usan toolchain analog, reference configure:3473-3494)
+_LIB_PATH = (os.environ.get("FFV1_NATIVE_LIB")
+             or os.path.join(_DIR, "libffv1native.so"))
 _lib = None
 
 
