@@ -31,35 +31,53 @@ def _params(**kw):
     return EncoderParams(**d)
 
 
-def test_tpu_pframe_byte_exact_gop():
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dev1():
+    """One compiled batch-1 device P-encoder for the whole module;
+    tests call reset() (the flush analog) instead of recompiling a
+    fresh instance (the pipeline lowering dominates suite time)."""
     from tpu_ffv1.pframe.tpu import TPUFFV1PEncoder
+    return TPUFFV1PEncoder(_params(), experimental=True)
+
+
+@pytest.fixture(scope="module")
+def dev2():
+    from tpu_ffv1.pframe.tpu import TPUFFV1PEncoder
+    return TPUFFV1PEncoder(_params(), experimental=True, batch=2)
+
+
+def test_tpu_pframe_byte_exact_gop(dev1):
     frames = _moving_scene()
     host = FFV1PEncoder(_params(), experimental=True)
     ref = [host.encode_frame(f) for f in frames]
-    dev = TPUFFV1PEncoder(_params(), experimental=True)
+    dev = dev1
+    dev.reset()
     for fi, f in enumerate(frames):
         pkt, kf = dev.encode_frames([f])[0]
         assert kf == ref[fi][1], f"frame {fi} keyflag"
         assert pkt == ref[fi][0], f"frame {fi} bytes differ"
 
 
-def test_tpu_pframe_batch_streams():
-    from tpu_ffv1.pframe.tpu import TPUFFV1PEncoder
+def test_tpu_pframe_batch_streams(dev2):
     streams = [_moving_scene(seed=5), _moving_scene(seed=9)]
     hosts = [FFV1PEncoder(_params(), experimental=True) for _ in range(2)]
     refs = [[h.encode_frame(f) for f in s]
             for h, s in zip(hosts, streams)]
-    dev = TPUFFV1PEncoder(_params(), experimental=True, batch=2)
+    dev = dev2
+    dev.reset()
     for fi in range(len(streams[0])):
         res = dev.encode_frames([streams[0][fi], streams[1][fi]])
         for bi in range(2):
             assert res[bi][0] == refs[bi][fi][0], (bi, fi)
 
 
-def test_tpu_pframe_roundtrip_and_compression():
-    from tpu_ffv1.pframe.tpu import TPUFFV1PEncoder
+def test_tpu_pframe_roundtrip_and_compression(dev1):
     frames = _moving_scene(n=5)
-    dev = TPUFFV1PEncoder(_params(), experimental=True)
+    dev = dev1
+    dev.reset()
     pkts = [dev.encode_frames([f])[0] for f in frames]
     dec = FFV1PDecoder(W, H, dev.extradata)
     for fi, (pkt, kf) in enumerate(pkts):
@@ -75,12 +93,12 @@ def test_tpu_pframe_roundtrip_and_compression():
     assert np.mean(psizes) < np.mean(isizes[1:]), (psizes, isizes)
 
 
-def test_tpu_pframe_pipelined_submit():
-    from tpu_ffv1.pframe.tpu import TPUFFV1PEncoder
+def test_tpu_pframe_pipelined_submit(dev1):
     frames = _moving_scene(n=6)
-    host = FFV1PEncoder(_params(gop_size=4), experimental=True)
+    host = FFV1PEncoder(_params(), experimental=True)
     ref = [host.encode_frame(f) for f in frames]
-    dev = TPUFFV1PEncoder(_params(gop_size=4), experimental=True)
+    dev = dev1
+    dev.reset()
     dev.submit_frames([frames[0]])
     dev.submit_frames([frames[1]])
     got = []
@@ -93,10 +111,11 @@ def test_tpu_pframe_pipelined_submit():
         assert pkt == ref[fi][0], fi
 
 
-def test_tpu_pframe_decoder_roundtrip():
-    from tpu_ffv1.pframe.tpu import TPUFFV1PDecoder, TPUFFV1PEncoder
+def test_tpu_pframe_decoder_roundtrip(dev1):
+    from tpu_ffv1.pframe.tpu import TPUFFV1PDecoder
     frames = _moving_scene(n=6)
-    enc = TPUFFV1PEncoder(_params(), experimental=True)
+    enc = dev1
+    enc.reset()
     pkts = [enc.encode_frames([f])[0] for f in frames]
     dec = TPUFFV1PDecoder(W, H, enc.extradata)
     for fi, (pkt, kf) in enumerate(pkts):
@@ -106,10 +125,11 @@ def test_tpu_pframe_decoder_roundtrip():
             assert np.array_equal(np.asarray(a), b), fi
 
 
-def test_tpu_pframe_decoder_batch_and_damage():
-    from tpu_ffv1.pframe.tpu import TPUFFV1PDecoder, TPUFFV1PEncoder
+def test_tpu_pframe_decoder_batch_and_damage(dev2):
+    from tpu_ffv1.pframe.tpu import TPUFFV1PDecoder
     streams = [_moving_scene(seed=5), _moving_scene(seed=11)]
-    enc = TPUFFV1PEncoder(_params(), experimental=True, batch=2)
+    enc = dev2
+    enc.reset()
     pkts = [enc.encode_frames([streams[0][fi], streams[1][fi]])
             for fi in range(len(streams[0]))]
     dec = TPUFFV1PDecoder(W, H, enc.extradata, batch=2)
@@ -119,8 +139,10 @@ def test_tpu_pframe_decoder_batch_and_damage():
             for a, b in zip(res[bi][0], streams[bi][fi]):
                 assert np.array_equal(np.asarray(a), b), (fi, bi)
     # trash a P packet byte: decoder must flag + conceal, then recover
-    # at the next keyframe
-    dec2 = TPUFFV1PDecoder(W, H, enc.extradata, batch=2)
+    # at the next keyframe (reset = the flush/seek analog, reusing the
+    # compiled pipeline)
+    dec.reset()
+    dec2 = dec
     good0 = dec2.decode_frames([pkts[0][0][0], pkts[0][1][0]])
     bad = bytearray(pkts[1][0][0])
     # flip a byte inside slice 0's PAYLOAD (a footer-field flip breaks

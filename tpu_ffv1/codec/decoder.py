@@ -367,6 +367,15 @@ class FFV1Decoder:
 
     # ------------------------------------------------------------------
 
+    def reset(self):
+        """Flush analog (avcodec_flush_buffers): the seek entry point.
+        Forgets the concealment reference and keyframe gate; the next
+        packet must be a keyframe (ffv1dec.c:931), which clears slice
+        contexts on entry (ffv1dec.c:419-420)."""
+        self.key_frame_ok = False
+        self.last_planes = None
+        self.picture_number = 0
+
     def decode_frame(self, pkt: bytes):
         """Decode one packet -> (planes, is_keyframe)."""
         rc = RangeDecoder(pkt, *default_state_tables())

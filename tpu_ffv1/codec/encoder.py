@@ -193,6 +193,13 @@ class FFV1Encoder:
 
     # -- public API -------------------------------------------------------
 
+    def reset(self):
+        """Flush analog (avcodec_flush_buffers): restart the GOP
+        cadence.  The next frame is a keyframe, which clears all slice
+        contexts on entry (ffv1enc.c:1171-1172); accumulated two-pass
+        statistics are kept, as in the reference."""
+        self.picture_number = 0
+
     def encode_frame(self, planes) -> tuple[bytes, bool]:
         """Encode one frame; returns (packet bytes, is_keyframe).
 

@@ -180,6 +180,14 @@ class FFV1PEncoder:
         intra = cost > intra_sad + B2    # bias toward inter (MV chain)
         return mvs, intra
 
+    def reset(self):
+        """Flush analog: restart the GOP (fresh keyframe, reference
+        plane and MV predictor chain dropped)."""
+        self.picture_number = 0
+        self.ref_planes = None
+        self.pstates = [_PSliceState() for _ in self.base.slices]
+        self.base.reset()
+
     def encode_frame(self, planes):
         planes = [np.asarray(p) for p in planes]
         keyframe = self.picture_number % self.params.gop_size == 0
@@ -340,6 +348,14 @@ class FFV1PDecoder:
         st = self.base.state_transition
         self._tables = custom_state_tables(st) if st is not None \
             else default_state_tables()
+
+    def reset(self):
+        """Flush analog: the seek entry point (next packet must be a
+        keyframe)."""
+        self.ref_planes = None
+        self.pstates = [_PSliceState() for _ in self.base.slices]
+        self.slice_damaged[:] = False
+        self.base.reset()
 
     def decode_frame(self, pkt: bytes):
         f = self.base

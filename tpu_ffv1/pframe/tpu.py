@@ -359,6 +359,13 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
         self._pending.append(self._executor.submit(work))
         self.picture_number += 1
 
+    def reset(self):
+        """Flush analog: also drops the device reference plane and the
+        MV predictor chain (next frame is a fresh keyframe)."""
+        super().reset()
+        self.ref_dev = None
+        self.prev_mvs = jnp.zeros_like(self.prev_mvs)
+
     def collect_frames(self):
         """Parent collect with the P-frame output cap."""
         assert self._pending
@@ -420,6 +427,14 @@ class TPUFFV1PDecoder:
                               static_argnames=("use_pallas",))
 
     # -------------------------------------------------------------
+
+    def reset(self):
+        """Flush analog: drop GOP contexts, MV chain and the device
+        reference planes; the next packet must be a keyframe."""
+        self._reset_gop()
+        self.ref_dev = None
+        self.base.reset()
+        self.slice_damaged = self.base.slice_damaged
 
     def _reset_gop(self):
         self.flag_states[:] = 128

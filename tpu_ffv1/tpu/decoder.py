@@ -192,6 +192,20 @@ class TPUFFV1Decoder:
 
     # -------------------------------------------------------------- API
 
+    def reset(self):
+        """Flush analog (avcodec_flush_buffers): forget GOP contexts,
+        concealment reference and keyframe gate — the seek entry point
+        (next packet must be a keyframe, ffv1dec.c:931).  Compiled
+        pipelines are retained."""
+        assert not self._pending, \
+            "collect in-flight frames before reset()"
+        self.key_frame_ok = [False] * self.batch
+        self.last_planes = [None] * self.batch
+        self.slice_damaged[:] = False
+        self.states = None
+        self.vlc_states = None
+        self.slice_states = [None] * self.L
+
     def decode_frame(self, pkt: bytes):
         assert self.batch == 1
         return self.decode_frames([pkt])[0]

@@ -666,6 +666,20 @@ class TPUFFV1Encoder:
             out += chunk
         return bytes(out)
 
+    def reset(self):
+        """Flush analog (avcodec_flush_buffers, libavcodec/utils.c):
+        drop all stream state so the next frame starts a fresh GOP.
+        Compiled pipelines are retained — a reset instance re-encodes
+        without recompiling (cheap stream switching / seek support)."""
+        assert not self._pending, \
+            "collect in-flight frames before reset()"
+        self.states = jnp.full((self.L, self.total_cc, 32), 128,
+                               dtype=jnp.uint8)
+        if self.golomb:
+            self.vlc_states = jnp.asarray(self._vlc_fresh)
+        self.picture_number = 0
+        self._last_cap = 0
+
     def encode_frame(self, planes):
         """Encode one frame of a single stream (batch must be 1)."""
         assert self.batch == 1
