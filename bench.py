@@ -515,9 +515,52 @@ def check_hw_parity():
     return 0 if ok_all else 1
 
 
+def probe_device_alive(timeout_s=None):
+    """The axon remote plugin BLOCKS FOREVER inside jax device init when
+    its tunnel is down (observed: jax.devices() never returns, no
+    error), which would hang this whole benchmark.  Probe device bring-
+    up in a SUBPROCESS with a hard timeout before this process imports
+    any jax device state; on failure force the CPU backend and skip the
+    device benches (host numbers still get reported)."""
+    import subprocess
+    timeout_s = timeout_s or float(
+        os.environ.get("FFV1_BENCH_PROBE_TIMEOUT", "300"))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "print(d[0].platform, len(d))"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0 and r.stdout.strip():
+            plat = r.stdout.split()[-2]
+            log(f"device probe: {r.stdout.strip()}")
+            return plat not in ("cpu",)
+        log(f"device probe failed rc={r.returncode}: "
+            f"{r.stderr.strip()[-200:]}")
+    except subprocess.TimeoutExpired:
+        log(f"device probe timed out after {timeout_s:.0f}s "
+            "(axon tunnel down?)")
+    return False
+
+
 def main():
     if "--check" in sys.argv:
         sys.exit(check_hw_parity())
+    have_dev = probe_device_alive()
+    if not have_dev:
+        # force the CPU backend BEFORE any jax import in this process:
+        # a hung axon init cannot be interrupted once started
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        # the axon sitecustomize imports jax at interpreter startup, so
+        # the env var alone is too late — update the live config too
+        if "jax" in sys.modules:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        os.environ.setdefault("FFV1_BENCH_SKIP_HOSTSRC", "1")
+        os.environ.setdefault("FFV1_BENCH_SKIP_DECODE", "1")
+        os.environ.setdefault("FFV1_BENCH_SKIP_PFRAME", "1")
+        log("accelerator unavailable; reporting host-engine numbers")
     frames = synth_1080p()
     link = None
     try:
@@ -549,11 +592,12 @@ def main():
         log("tpu unavailable; reporting host path")
         mpix = bench_host(frames)
     dev_mpix = dev_stats = None
-    try:
-        dev_mpix, dev_stats = bench_tpu_device_source(frames)
-        log(f"tpu device-source: {dev_mpix:.2f} Mpixel/s")
-    except Exception as e:
-        log(f"device-source bench failed ({e})")
+    if have_dev:
+        try:
+            dev_mpix, dev_stats = bench_tpu_device_source(frames)
+            log(f"tpu device-source: {dev_mpix:.2f} Mpixel/s")
+        except Exception as e:
+            log(f"device-source bench failed ({e})")
     dec_mpix = dec_stats = None
     sink_mpix = sink_stats = None
     if os.environ.get("FFV1_BENCH_SKIP_DECODE", "0") not in ("1", "true"):
@@ -581,13 +625,17 @@ def main():
     # (every raw plane crossing this rig's ~40 MB/s dev tunnel) is
     # reported alongside with its measured link floor.
     head = dev_mpix if dev_mpix is not None else mpix
+    source = ("device_resident_hbm" if dev_mpix is not None
+              else "host_tunnel")
+    if head is None:            # no device at all: report the host
+        head = host if host is not None else bench_host(frames)
+        source = "host_engine_no_device"
     out = {
         "metric": "ffv1_encode_1080p_mpix_s",
         "value": round(head, 3),
         "unit": "Mpixel/s",
         "vs_baseline": round(head / BASELINE_MPIX_S, 4),
-        "source": ("device_resident_hbm" if dev_mpix is not None
-                   else "host_tunnel"),
+        "source": source,
         # same-run comparisons + step statistics so the headline is
         # traceable inside THIS artifact (medians over distinct steady
         # steps; encode lanes = 4 streams x 24 slices)
