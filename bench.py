@@ -545,6 +545,10 @@ def probe_device_alive(timeout_s=None):
 
 def main():
     if "--check" in sys.argv:
+        if not probe_device_alive():
+            # leave the last real-HW HWCHECK.json untouched
+            log("no accelerator; --check requires real hardware")
+            sys.exit(2)
         sys.exit(check_hw_parity())
     have_dev = probe_device_alive()
     if not have_dev:
