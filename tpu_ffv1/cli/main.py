@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 
 
 def build_parser():
@@ -148,14 +150,20 @@ def run(argv=None):
     if _is_avi(args.input) or _is_mkv(args.input) or _is_nut(args.input):
         # ---- decode path ----
         st, _kind = _read_container(args.input)
-        from ..codec.decoder import FFV1Decoder
-        engine = args.engine if args.engine != "tpu" else "auto"
-        dec = FFV1Decoder(st.width, st.height, st.extradata or None,
-                          engine=engine if engine != "auto" else "auto")
+        if args.engine == "tpu":
+            from ..tpu.decoder import TPUFFV1Decoder
+            dec = TPUFFV1Decoder(st.width, st.height,
+                                 st.extradata or None)
+        else:
+            from ..codec.decoder import FFV1Decoder
+            dec = FFV1Decoder(st.width, st.height, st.extradata or None,
+                              engine=args.engine)
         frames = []
         for pkt in st.packets[:args.frames]:
             planes, _ = dec.decode_frame(pkt)
-            frames.append(planes)
+            frames.append([np.asarray(p) for p in planes]
+                          if isinstance(planes, (list, tuple))
+                          else np.asarray(planes))
             npix += st.width * st.height
         conv = ""
         cur_fmt, cur_w, cur_h = dec.pix_fmt, st.width, st.height

@@ -112,6 +112,12 @@ class TPUFFV1Decoder:
         self.quant_table_count = g.quant_table_count
         self.ec = g.ec
         self.bits = 8 if g.bits_per_raw_sample <= 8 else g.bits_per_raw_sample
+        # output format string (ffv1dec.c:698-790 reconstruction), the
+        # attribute the CLI/filtergraph consumers read off any decoder
+        from ..codec.pixfmt import reconstruct_pix_fmt
+        self.pix_fmt = reconstruct_pix_fmt(
+            g.colorspace, g.bits_per_raw_sample or 8, g.chroma_planes,
+            g.chroma_h_shift, g.chroma_v_shift, g.transparency)
         # RGB planes code at 9 bits for <=8-bit sources, bits+1 above
         # (ffv1dec.c:252-255); the fused kernel needs coded width <= 10
         self.coded_bits = (9 if self.bits <= 8 else self.bits + 1) \
