@@ -120,3 +120,30 @@ def test_y4m_cli_encode_decode(tmp_path):
     for a, b in zip(got2, frames):
         for x, y in zip(a, b):
             assert np.array_equal(x, y)
+
+
+@pytest.mark.skipif(not have_ffmpeg, reason="reference binary missing")
+def test_cli_transcode_container_to_container(tmp_path):
+    """ffmpeg.c transcode chain: .avi -> decode -> re-encode -> .nut,
+    reference binary decodes the result losslessly."""
+    from tpu_ffv1.cli.main import run
+    w, h = 34, 34
+    frames = _frames("yuv420p", w, h)
+    src = str(tmp_path / "in.y4m")
+    avi = str(tmp_path / "a.avi")
+    nut = str(tmp_path / "b.nut")
+    write_y4m(src, frames, "yuv420p", w, h)
+    assert run(["-i", src, "-c:v", "ffv1", "-level", "3", "-coder", "2",
+                "-slices", "4", avi]) == 0
+    # transcode range-coder AVI -> golomb NUT
+    assert run(["-i", avi, "-c:v", "ffv1", "-level", "3", "-coder", "0",
+                "-slices", "4", nut]) == 0
+    raw = str(tmp_path / "o.yuv")
+    subprocess.run([FFMPEG, "-hide_banner", "-loglevel", "error",
+                    "-i", nut, "-f", "rawvideo", "-pix_fmt", "yuv420p",
+                    "-y", raw], check=True)
+    from tpu_ffv1.io.rawvideo import read_frames
+    got = read_frames(raw, "yuv420p", w, h)
+    for a, b in zip(got, frames):
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y)

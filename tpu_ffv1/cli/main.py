@@ -126,6 +126,67 @@ def _read_container(path):
     return read_avi(path), "avi"
 
 
+
+def _is_container(path):
+    return _is_avi(path) or _is_mkv(path) or _is_nut(path)
+
+
+def _encode_frames_to(args, frames, w, h):
+    """Shared encode+mux tail (ffmpeg.c do_video_out + muxer): frames
+    are already in args.pix_fmt at (w, h).  Returns the report line."""
+    from ..codec.params import EncoderParams
+    from ..io import avi as avi_io
+    stats_in = None
+    if args.rc_pass == 2:
+        logf = args.passlogfile + "-0.log"
+        if not os.path.exists(logf):
+            sys.exit(f"error: pass-2 needs stats at {logf} "
+                     "(run -pass 1 first)")
+        stats_in = open(logf).read()
+    params = EncoderParams(
+        width=w, height=h, pix_fmt=args.pix_fmt, level=args.level,
+        coder=args.coder, context_model=args.context,
+        slices=args.slices, slicecrc=args.slicecrc, gop_size=args.gop,
+        strict=args.strict, pass1=args.rc_pass == 1,
+        stats_in=stats_in)
+    if args.engine == "tpu":
+        if args.rc_pass == 1:
+            sys.exit("error: -pass 1 gathers per-context statistics "
+                     "on the host engines (use -engine native)")
+        from ..tpu.encoder import TPUFFV1Encoder
+        enc = TPUFFV1Encoder(params)
+    else:
+        from ..codec.encoder import FFV1Encoder
+        enc = FFV1Encoder(params, engine=args.engine)
+    pkts, keys = [], []
+    for f in frames:
+        pkt, key = enc.encode_frame(f)
+        pkts.append(pkt)
+        keys.append(key)
+    if args.rc_pass == 1:
+        with open(args.passlogfile + "-0.log", "w") as lf:
+            lf.write(enc.get_stats())
+    if _is_mkv(args.output):
+        from ..io import mkv as mkv_io
+        mkv_io.write_mkv(args.output, mkv_io.MkvStream(
+            width=w, height=h, extradata=enc.extradata or b"",
+            packets=pkts, keyflags=keys))
+    elif _is_nut(args.output):
+        from ..io import nut as nut_io
+        nut_io.write_nut(args.output, nut_io.NutStream(
+            width=w, height=h, extradata=enc.extradata or b"",
+            packets=pkts, keyflags=keys))
+    elif _is_avi(args.output):
+        avi_io.write_avi(args.output, avi_io.AviStream(
+            width=w, height=h, extradata=enc.extradata or b"",
+            packets=pkts, keyflags=keys))
+    else:
+        sys.exit("error: only .avi/.mkv/.nut output is supported")
+    total = sum(len(p) for p in pkts)
+    return (f"encoded {len(pkts)} frames {w}x{h} -> {total} bytes "
+            f"(v{enc.rp.version}, coder {enc.rp.ac})")
+
+
 def run(argv=None):
     args = build_parser().parse_args(argv)
     from ..codec.params import EncoderParams
@@ -179,12 +240,18 @@ def run(argv=None):
             frames = [convert(f, cur_fmt, args.pix_fmt, cur_w, cur_h)
                       for f in frames]
             conv += f" ({cur_fmt} -> {args.pix_fmt})"
-        if _is_y4m(args.output):
+        if _is_container(args.output):
+            # transcode: decoded frames re-encode through the shared
+            # tail (ffmpeg.c decode -> filter -> encode chain)
+            line = _encode_frames_to(args, frames, cur_w, cur_h)
+            what = "trans" + line.removeprefix("en") + conv
+        elif _is_y4m(args.output):
             from ..io.y4m import write_y4m
             write_y4m(args.output, frames, args.pix_fmt, cur_w, cur_h)
+            what = f"decoded {len(frames)} frames {cur_w}x{cur_h}{conv}"
         else:
             raw_io.write_frames(args.output, frames)
-        what = f"decoded {len(frames)} frames {cur_w}x{cur_h}{conv}"
+            what = f"decoded {len(frames)} frames {cur_w}x{cur_h}{conv}"
     else:
         # ---- encode path ----
         if _is_y4m(args.input):
@@ -212,56 +279,8 @@ def run(argv=None):
             from ..swscale import convert
             frames = [convert(f, in_fmt, args.pix_fmt, w, h)
                       for f in frames]
-        stats_in = None
-        if args.rc_pass == 2:
-            logf = args.passlogfile + "-0.log"
-            if not os.path.exists(logf):
-                sys.exit(f"error: pass-2 needs stats at {logf} "
-                         "(run -pass 1 first)")
-            stats_in = open(logf).read()
-        params = EncoderParams(
-            width=w, height=h, pix_fmt=args.pix_fmt, level=args.level,
-            coder=args.coder, context_model=args.context,
-            slices=args.slices, slicecrc=args.slicecrc, gop_size=args.gop,
-            strict=args.strict, pass1=args.rc_pass == 1,
-            stats_in=stats_in)
-        if args.engine == "tpu":
-            if args.rc_pass == 1:
-                sys.exit("error: -pass 1 gathers per-context statistics "
-                         "on the host engines (use -engine native)")
-            from ..tpu.encoder import TPUFFV1Encoder
-            enc = TPUFFV1Encoder(params)
-        else:
-            from ..codec.encoder import FFV1Encoder
-            enc = FFV1Encoder(params, engine=args.engine)
-        pkts, keys = [], []
-        for f in frames:
-            pkt, key = enc.encode_frame(f)
-            pkts.append(pkt)
-            keys.append(key)
-            npix += w * h
-        if args.rc_pass == 1:
-            with open(args.passlogfile + "-0.log", "w") as lf:
-                lf.write(enc.get_stats())
-        if _is_mkv(args.output):
-            from ..io import mkv as mkv_io
-            mkv_io.write_mkv(args.output, mkv_io.MkvStream(
-                width=w, height=h, extradata=enc.extradata or b"",
-                packets=pkts, keyflags=keys))
-        elif _is_nut(args.output):
-            from ..io import nut as nut_io
-            nut_io.write_nut(args.output, nut_io.NutStream(
-                width=w, height=h, extradata=enc.extradata or b"",
-                packets=pkts, keyflags=keys))
-        elif _is_avi(args.output):
-            avi_io.write_avi(args.output, avi_io.AviStream(
-                width=w, height=h, extradata=enc.extradata or b"",
-                packets=pkts, keyflags=keys))
-        else:
-            sys.exit("error: only .avi/.mkv/.nut output is supported")
-        total = sum(len(p) for p in pkts)
-        what = (f"encoded {len(pkts)} frames {w}x{h} -> {total} bytes "
-                f"(v{enc.rp.version}, coder {enc.rp.ac})")
+        npix += len(frames) * w * h
+        what = _encode_frames_to(args, frames, w, h)
 
     dt = time.time() - t0
     print(what, file=sys.stderr)
