@@ -147,3 +147,32 @@ def test_cli_transcode_container_to_container(tmp_path):
     for a, b in zip(got, frames):
         for x, y in zip(a, b):
             assert np.array_equal(x, y)
+
+
+@pytest.mark.skipif(not have_ffmpeg, reason="reference binary missing")
+def test_cli_stream_copy(tmp_path):
+    """ffmpeg -c:v copy analog: packets remux untouched across
+    containers and the reference binary still decodes losslessly."""
+    from tpu_ffv1.cli.main import run
+    w, h = 34, 34
+    frames = _frames("yuv420p", w, h)
+    src = str(tmp_path / "in.y4m")
+    avi = str(tmp_path / "a.avi")
+    mkv = str(tmp_path / "b.mkv")
+    write_y4m(src, frames, "yuv420p", w, h)
+    assert run(["-i", src, "-c:v", "ffv1", "-level", "3", "-coder", "2",
+                "-slices", "4", avi]) == 0
+    assert run(["-i", avi, "-c:v", "copy", mkv]) == 0
+    raw = str(tmp_path / "o.yuv")
+    subprocess.run([FFMPEG, "-hide_banner", "-loglevel", "error",
+                    "-i", mkv, "-f", "rawvideo", "-pix_fmt", "yuv420p",
+                    "-y", raw], check=True)
+    from tpu_ffv1.io.rawvideo import read_frames
+    got = read_frames(raw, "yuv420p", w, h)
+    for a, b in zip(got, frames):
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y)
+    # packets must be byte-identical across the remux
+    from tpu_ffv1.io.avi import read_avi
+    from tpu_ffv1.io.mkv import read_mkv
+    assert read_mkv(mkv).packets == read_avi(avi).packets

@@ -131,6 +131,28 @@ def _is_container(path):
     return _is_avi(path) or _is_mkv(path) or _is_nut(path)
 
 
+def _mux(path, w, h, extradata, pkts, keys):
+    """Write packets to the container selected by extension
+    (av_interleaved_write_frame analog over the io writers)."""
+    if _is_mkv(path):
+        from ..io import mkv as mkv_io
+        mkv_io.write_mkv(path, mkv_io.MkvStream(
+            width=w, height=h, extradata=extradata,
+            packets=pkts, keyflags=keys))
+    elif _is_nut(path):
+        from ..io import nut as nut_io
+        nut_io.write_nut(path, nut_io.NutStream(
+            width=w, height=h, extradata=extradata,
+            packets=pkts, keyflags=keys))
+    elif _is_avi(path):
+        from ..io import avi as avi_io
+        avi_io.write_avi(path, avi_io.AviStream(
+            width=w, height=h, extradata=extradata,
+            packets=pkts, keyflags=keys))
+    else:
+        sys.exit("error: only .avi/.mkv/.nut output is supported")
+
+
 def _encode_frames_to(args, frames, w, h):
     """Shared encode+mux tail (ffmpeg.c do_video_out + muxer): frames
     are already in args.pix_fmt at (w, h).  Returns the report line."""
@@ -166,22 +188,7 @@ def _encode_frames_to(args, frames, w, h):
     if args.rc_pass == 1:
         with open(args.passlogfile + "-0.log", "w") as lf:
             lf.write(enc.get_stats())
-    if _is_mkv(args.output):
-        from ..io import mkv as mkv_io
-        mkv_io.write_mkv(args.output, mkv_io.MkvStream(
-            width=w, height=h, extradata=enc.extradata or b"",
-            packets=pkts, keyflags=keys))
-    elif _is_nut(args.output):
-        from ..io import nut as nut_io
-        nut_io.write_nut(args.output, nut_io.NutStream(
-            width=w, height=h, extradata=enc.extradata or b"",
-            packets=pkts, keyflags=keys))
-    elif _is_avi(args.output):
-        avi_io.write_avi(args.output, avi_io.AviStream(
-            width=w, height=h, extradata=enc.extradata or b"",
-            packets=pkts, keyflags=keys))
-    else:
-        sys.exit("error: only .avi/.mkv/.nut output is supported")
+    _mux(args.output, w, h, enc.extradata or b"", pkts, keys)
     total = sum(len(p) for p in pkts)
     return (f"encoded {len(pkts)} frames {w}x{h} -> {total} bytes "
             f"(v{enc.rp.version}, coder {enc.rp.ac})")
@@ -211,6 +218,17 @@ def run(argv=None):
     if _is_avi(args.input) or _is_mkv(args.input) or _is_nut(args.input):
         # ---- decode path ----
         st, _kind = _read_container(args.input)
+        if args.codec == "copy":
+            # stream copy (ffmpeg -c:v copy): remux packets untouched
+            if not _is_container(args.output):
+                sys.exit("error: -c:v copy needs a container output")
+            pkts = st.packets[:args.frames]
+            keys = list(st.keyflags)[:args.frames]
+            _mux(args.output, st.width, st.height, st.extradata or b"",
+                 pkts, keys)
+            print(f"copied {len(pkts)} packets {st.width}x{st.height} "
+                  f"-> {args.output}", file=sys.stderr)
+            return 0
         if args.engine == "tpu":
             from ..tpu.decoder import TPUFFV1Decoder
             dec = TPUFFV1Decoder(st.width, st.height,
