@@ -49,6 +49,10 @@ def build_parser():
     p.add_argument("-g", dest="gop", type=int, default=12)
     p.add_argument("-strict", type=int, default=0)
     p.add_argument("-frames:v", dest="frames", type=int, default=None)
+    p.add_argument("-ss", dest="seek", type=int, default=0,
+                   help="start at frame N; on container input the "
+                        "decode restarts at the nearest preceding "
+                        "keyframe (seek.mak semantics)")
     p.add_argument("-pass", dest="rc_pass", type=int, default=0,
                    choices=[0, 1, 2],
                    help="two-pass mode (1 = gather stats, 2 = encode "
@@ -65,21 +69,55 @@ def build_parser():
     p.add_argument("-benchmark", action="store_true")
     p.add_argument("-probe", action="store_true",
                    help="inspect a stream (the ffprobe analog) and exit")
+    p.add_argument("-of", dest="ofmt", default="default",
+                   choices=["default", "json"],
+                   help="probe output format (ffprobe -print_format)")
     p.add_argument("-y", action="store_true", help="overwrite (always on)")
     p.add_argument("output", nargs="?")
     return p
 
 
-def probe(path: str):
+def probe(path: str, ofmt: str = "default"):
     """Stream inspection (ffprobe analog; dumps the global-header fields
-    of ffv1dec.c:620-634 plus packet stats)."""
+    of ffv1dec.c:620-634 plus packet stats).  ofmt="json" mirrors
+    ffprobe's -print_format json machine-readable form."""
     from ..bitstream.headers import read_extra_header
 
     st, kind = _read_container(path)
+    g = read_extra_header(st.extradata) if st.extradata else None
+    sizes = [len(p) for p in st.packets]
+    nkey = sum(st.keyflags)
+    if ofmt == "json":
+        import json
+        doc = {
+            "format": {"format_name": kind, "nb_streams": 1},
+            "streams": [{
+                "codec_name": "ffv1", "width": st.width,
+                "height": st.height,
+                "r_frame_rate": f"{st.fps[0]}/{st.fps[1]}",
+                "nb_frames": len(sizes),
+                **({"ffv1_version":
+                        f"{g.version}.{g.micro_version}",
+                    "coder": g.ac, "colorspace": g.colorspace,
+                    "bits_per_raw_sample": g.bits_per_raw_sample,
+                    "chroma_planes": int(g.chroma_planes),
+                    "chroma_shift":
+                        [g.chroma_h_shift, g.chroma_v_shift],
+                    "transparency": int(g.transparency),
+                    "slices":
+                        [g.num_h_slices, g.num_v_slices],
+                    "quant_table_count": g.quant_table_count,
+                    "ec": g.ec, "intra": g.intra} if g else {}),
+            }],
+            "packets": [
+                {"size": s, "flags": "K" if k else "_"}
+                for s, k in zip(sizes, st.keyflags)],
+        }
+        print(json.dumps(doc, indent=2))
+        return 0
     print(f"container: {kind}, {st.width}x{st.height}, "
           f"fps {st.fps[0]}/{st.fps[1]}")
-    if st.extradata:
-        g = read_extra_header(st.extradata)
+    if g is not None:
         print(f"ffv1: ver:{g.version}.{g.micro_version} coder:{g.ac} "
               f"colorspace:{g.colorspace} bpr:{g.bits_per_raw_sample} "
               f"chroma:{int(g.chroma_planes)}({g.chroma_h_shift}:"
@@ -88,8 +126,6 @@ def probe(path: str):
               f"qtabs:{g.quant_table_count} ec:{g.ec} intra:{g.intra}")
     else:
         print("ffv1: version < 2 (in-band headers)")
-    sizes = [len(p) for p in st.packets]
-    nkey = sum(st.keyflags)
     if sizes:
         print(f"packets: {len(sizes)} ({nkey} key), bytes total "
               f"{sum(sizes)} min {min(sizes)} avg "
@@ -202,7 +238,7 @@ def run(argv=None):
 
     if args.probe:
         try:
-            return probe(args.input)
+            return probe(args.input, args.ofmt)
         except BrokenPipeError:
             return 0
         except (ValueError, OSError) as e:
@@ -237,9 +273,16 @@ def run(argv=None):
             from ..codec.decoder import FFV1Decoder
             dec = FFV1Decoder(st.width, st.height, st.extradata or None,
                               engine=args.engine)
+        start = 0
+        if args.seek:
+            from .play import seek_start
+            start = seek_start(st.keyflags, args.seek)
+        stop = None if args.frames is None else args.seek + args.frames
         frames = []
-        for pkt in st.packets[:args.frames]:
+        for i, pkt in enumerate(st.packets[start:stop], start):
             planes, _ = dec.decode_frame(pkt)
+            if i < args.seek:
+                continue           # keyframe roll-in, not emitted
             frames.append([np.asarray(p) for p in planes]
                           if isinstance(planes, (list, tuple))
                           else np.asarray(planes))
@@ -285,6 +328,8 @@ def run(argv=None):
             w, h = (int(v) for v in args.size.split("x"))
             in_fmt = args.in_pix_fmt or args.pix_fmt
             frames = raw_io.read_frames(args.input, in_fmt, w, h)
+        if args.seek:
+            frames = frames[args.seek:]
         if args.frames is not None:
             frames = frames[:args.frames]
         if args.vf:
