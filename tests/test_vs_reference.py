@@ -66,6 +66,24 @@ CONFIGS = [
     ("v2_inband_range", "yuv420p", ["-level", "2", "-coder", "2",
                                     "-strict", "-2", "-slices", "4"],
      dict(level=2, coder=2, strict=-2, slices=4)),
+    # round-3 corner sweep: deep alpha, 9-bit, gray16 v3, 5-input
+    # contexts on the Golomb coder, explicit slice CRCs
+    ("v3_yuva444p16", "yuva444p16le", ["-level", "3", "-slices", "4"],
+     dict(level=3, slices=4)),
+    ("v3_420p9", "yuv420p9le", ["-level", "3", "-slices", "4"],
+     dict(level=3, slices=4)),
+    ("v3_gbrp9", "gbrp9le", ["-level", "3", "-slices", "4"],
+     dict(level=3, slices=4)),
+    ("v3_gray16", "gray16le", ["-level", "3", "-slices", "4"],
+     dict(level=3, slices=4)),
+    ("v3_ctx1_rice", "yuv420p", ["-context", "1", "-coder", "0",
+                                 "-slices", "4", "-strict", "-2"],
+     dict(context_model=1, coder=0, slices=4, strict=-2)),
+    ("v3_slicecrc", "yuv420p", ["-level", "3", "-slices", "4",
+                                "-slicecrc", "1"],
+     dict(level=3, slices=4, slicecrc=1)),
+    ("v3_yuva422p10", "yuva422p10le", ["-level", "3", "-slices", "4"],
+     dict(level=3, slices=4)),
 ]
 
 
