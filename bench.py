@@ -107,6 +107,8 @@ def bench_tpu(frames, budget_s=900.0):
     # in flight together — the half-duplex host link interleaves the
     # two transfer directions while the device computes
     depth = int(os.environ.get("FFV1_BENCH_DEPTH", "2"))
+    from tpu_ffv1 import log as flog
+    flog.collect_phases(True)     # per-phase medians -> JSON artifact
     t0 = time.time()
     steps = []
     n_steps = max(len(frames), 10)
@@ -123,10 +125,13 @@ def bench_tpu(frames, budget_s=900.0):
         if sum(steps) > budget_s and not enc._pending:
             break
     step_ms = sorted(s * 1000 for s in steps)
+    phases = flog.phase_stats()
+    flog.collect_phases(False)
     med = step_ms[len(step_ms) // 2]
     mpix = batch * 1920 * 1080 / (med / 1000) / 1e6
     log(f"tpu steady: median {med:.0f} ms/step, min {step_ms[0]:.0f}, "
-        f"max {step_ms[-1]:.0f} ({batch} frames/step)")
+        f"max {step_ms[-1]:.0f} ({batch} frames/step); phases: "
+        + json.dumps(phases))
 
     # device-resident compute: the fused pipeline timed with the planes
     # already in HBM — the throughput a locally-attached chip sees
@@ -162,7 +167,8 @@ def bench_tpu(frames, budget_s=900.0):
                  frames_per_step=batch,
                  upload_mb_per_step=round(
                      batch * 1920 * 1080 * 1.5 / 1e6, 2),
-                 download_mb_per_step=round(payload_mb, 2))
+                 download_mb_per_step=round(payload_mb, 2),
+                 phases=phases)
     if comp_ms is not None:
         stats["compute_ms_per_step"] = round(comp_ms, 1)
         stats["compute_mpix_s"] = round(
@@ -208,6 +214,8 @@ def bench_tpu_device_source(frames, budget_s=600.0):
     log(f"device-source first step: {time.time() - t0:.1f}s")
     depth = int(os.environ.get("FFV1_BENCH_DEPTH", "2"))
     n_steps = int(os.environ.get("FFV1_BENCH_STEPS", "12"))
+    from tpu_ffv1 import log as flog
+    flog.collect_phases(True)
     steps = []
     t0 = time.time()
     for d in range(depth):
@@ -221,6 +229,8 @@ def bench_tpu_device_source(frames, budget_s=600.0):
         if sum(steps) > budget_s and not enc._pending:
             break
     step_ms = sorted(s * 1000 for s in steps)
+    phases = flog.phase_stats()
+    flog.collect_phases(False)
     med = step_ms[len(step_ms) // 2]
     log(f"tpu device-source steady: median {med:.0f} ms/step, "
         f"min {step_ms[0]:.0f}, max {step_ms[-1]:.0f} "
@@ -228,7 +238,7 @@ def bench_tpu_device_source(frames, budget_s=600.0):
     return batch * 1920 * 1080 / (med / 1000) / 1e6, dict(
         median_ms=round(med, 1), min_ms=round(step_ms[0], 1),
         max_ms=round(step_ms[-1], 1), n_steps=len(step_ms),
-        frames_per_step=batch)
+        frames_per_step=batch, phases=phases)
 
 
 def bench_host(frames):

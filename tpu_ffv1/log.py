@@ -45,9 +45,30 @@ def debug_enabled(cls: str) -> bool:
     return cls in _debug
 
 
+_phase_acc = None     # label -> [ms, ...] when accumulation is on
+
+
+def collect_phases(on: bool = True) -> None:
+    """Start/stop accumulating phase_timer durations (bench.py uses
+    this to publish the per-phase breakdown in its JSON artifact)."""
+    global _phase_acc
+    _phase_acc = {} if on else None
+
+
+def phase_stats() -> dict:
+    """{label: {n, median_ms, total_ms}} for the current accumulation."""
+    out = {}
+    for k, v in (_phase_acc or {}).items():
+        s = sorted(v)
+        out[k] = dict(n=len(v), median_ms=round(s[len(s) // 2], 1),
+                      total_ms=round(sum(v), 1))
+    return out
+
+
 class phase_timer:
     """Context manager that logs ``<label>: N ms`` when the ``timing``
-    debug class is enabled; zero overhead otherwise."""
+    debug class is enabled and/or accumulates for phase_stats();
+    zero overhead otherwise."""
 
     __slots__ = ("component", "label", "t0")
 
@@ -56,11 +77,16 @@ class phase_timer:
         self.label = label
 
     def __enter__(self):
-        self.t0 = time.time() if "timing" in _debug else None
+        self.t0 = time.time() if ("timing" in _debug or
+                                  _phase_acc is not None) else None
         return self
 
     def __exit__(self, *exc):
         if self.t0 is not None:
-            log(INFO, self.component,
-                f"{self.label}: {(time.time() - self.t0) * 1000:.0f} ms")
+            ms = (time.time() - self.t0) * 1000
+            if "timing" in _debug:
+                log(INFO, self.component, f"{self.label}: {ms:.0f} ms")
+            if _phase_acc is not None:
+                _phase_acc.setdefault(
+                    f"{self.component}.{self.label}", []).append(ms)
         return False
