@@ -1,14 +1,22 @@
 """ffmpeg-compatible thin CLI (the framework's ffmpeg.c analog).
 
 Supported subset mirrors the reference options used by FFV1 workflows
-(ffmpeg_opt.c / options_table.h): -i, -f, -pix_fmt, -s, -c:v, -level,
--coder, -context, -slices, -slicecrc, -g, -strict, -frames:v, plus the
-framework's -engine {auto,spec,native,tpu}.
+(ffmpeg_opt.c / options_table.h): -i, -f, -pix_fmt, -in_pix_fmt, -s,
+-c:v (ffv1 | copy), -level, -coder, -context, -slices, -slicecrc, -g,
+-strict, -frames:v, -ss (keyframe-accurate seek), -vf, -pass /
+-passlogfile, -probe [-of json], plus the framework's
+-engine {auto,spec,native,tpu}.
+
+Inputs: rawvideo (-s required), .y4m (self-describing), .avi/.mkv/.nut.
+Outputs: rawvideo, .y4m, or a container — container->container
+re-encodes (transcode) or remuxes untouched with -c:v copy.
 
 Examples:
   python -m tpu_ffv1 -f rawvideo -pix_fmt yuv420p -s 352x288 -i in.yuv \
       -c:v ffv1 -level 3 -slices 4 out.avi
   python -m tpu_ffv1 -i in.avi -f rawvideo -pix_fmt yuv420p out.yuv
+  python -m tpu_ffv1 -i in.y4m -c:v ffv1 -coder 0 out.mkv
+  python -m tpu_ffv1 -i in.avi -c:v copy out.nut
 """
 from __future__ import annotations
 
