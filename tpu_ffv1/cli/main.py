@@ -316,7 +316,8 @@ def run(argv=None):
             what = "trans" + line.removeprefix("en") + conv
         elif _is_y4m(args.output):
             from ..io.y4m import write_y4m
-            write_y4m(args.output, frames, args.pix_fmt, cur_w, cur_h)
+            write_y4m(args.output, frames, args.pix_fmt, cur_w, cur_h,
+                      fps=st.fps)
             what = f"decoded {len(frames)} frames {cur_w}x{cur_h}{conv}"
         else:
             raw_io.write_frames(args.output, frames)
