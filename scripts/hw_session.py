@@ -63,7 +63,21 @@ def main():
                      "flip FFV1_PALLAS_GATHER default to 0"))
         return 1 if r2["rc"] else 0
 
-    # 2. decode-sink batch sweep (the decode >= host C lever)
+    # 2a. encode device-source batch sweep (VERDICT lever (a): scan
+    # cost grows sub-linearly with lanes -> larger batch = more Mpix/s)
+    if not quick:
+        for batch in ("5", "8", "12", "16"):
+            r = run([py, "-c", (
+                "import bench, os;"
+                "f = bench.synth_1080p();"
+                "m, s = bench.bench_tpu_device_source(f, budget_s=150);"
+                "import json; print(json.dumps(dict(mpix=m, **s)))")],
+                timeout=2400,
+                env={"FFV1_BENCH_BATCH": batch,
+                     "FFV1_BENCH_STEPS": "8"})
+            log_result(f"encode_devsrc_b{batch}", r)
+
+    # 2b. decode-sink batch sweep (the decode >= host C lever)
     if not quick:
         for gather in ("1", "0"):
             for batch in ("5", "8") if gather == "0" else ("4", "5",
