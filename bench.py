@@ -454,14 +454,32 @@ def check_hw_parity():
         ("range_gop", dict(pix_fmt="yuv420p", level=3, coder=2,
                            slices=4, gop_size=2)),
         ("golomb", dict(pix_fmt="yuv420p", level=3, coder=0, slices=4)),
+        # extended schedule (bits > 10) and RGB/RCT on the real chip
+        ("444p16", dict(pix_fmt="yuv444p16le", level=3, coder=2,
+                        slices=4)),
+        ("bgr0", dict(pix_fmt="bgr0", level=3, coder=2, slices=4)),
     ]
+    def case_frames(pix_fmt):
+        if pix_fmt == "bgr0":
+            out = []
+            for t in range(4):
+                a = rng.randint(0, 255, (H, W, 4)).astype(np.uint8)
+                a[..., 3] = 0
+                out.append(a)
+            return out
+        if pix_fmt.endswith("16le"):
+            return [[rng.randint(0, 65535, (H, W)).astype(np.uint16)
+                     for _ in range(3)] for _ in range(4)]
+        return frames
+
     ok_all = True
     for label, kw in cases:
+        cfx = case_frames(kw["pix_fmt"])
         host = FFV1Encoder(EncoderParams(width=W, height=H, **kw))
-        ref = [host.encode_frame(f) for f in frames]
+        ref = [host.encode_frame(f) for f in cfx]
         dev = TPUFFV1Encoder(EncoderParams(width=W, height=H, **kw))
         ok = True
-        for fi, f in enumerate(frames):
+        for fi, f in enumerate(cfx):
             pkt, kf = dev.encode_frame(f)
             ok &= (pkt == ref[fi][0] and kf == ref[fi][1])
         results[f"encode_{label}"] = ok
@@ -514,6 +532,21 @@ def check_hw_parity():
     results["decode_range_ctx1"] = ok
     ok_all &= ok
     log(f"hw-check decode ctx1 (5-input): {'PASS' if ok else 'FAIL'}")
+
+    # device Golomb-Rice decode (tpu/decoder coder=0 lane scan)
+    host = FFV1Encoder(EncoderParams(width=W, height=H,
+                                     pix_fmt="yuv420p", level=3,
+                                     coder=0, slices=4))
+    pkts = [host.encode_frame(f)[0] for f in frames]
+    dec = TPUFFV1Decoder(W, H, host.extradata)
+    ok = True
+    for fi, pkt in enumerate(pkts):
+        planes, _ = dec.decode_frame(pkt)
+        ok &= all(np.array_equal(np.asarray(a), b)
+                  for a, b in zip(planes, frames[fi]))
+    results["decode_golomb"] = ok
+    ok_all &= ok
+    log(f"hw-check decode golomb: {'PASS' if ok else 'FAIL'}")
 
     import jax
     results["platform"] = jax.devices()[0].platform
