@@ -76,3 +76,88 @@ def test_tpu_ext_batch_streams():
         res = dev.encode_frames([streams[0][fi], streams[1][fi]])
         for bi in range(2):
             assert res[bi][0] == refs[bi][fi][0], (bi, fi)
+
+
+def test_tpu_alpha_yuva420p_byte_exact():
+    """4-plane YUV+alpha through both device paths (the alpha plane is
+    coded like luma with its own context plane, ffv1enc.c:1196-1201)."""
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+    W, H = 48, 32
+    rng = np.random.RandomState(3)
+    frames = [[rng.randint(0, 255, (H, W)).astype(np.uint8),
+               rng.randint(0, 255, (H // 2, W // 2)).astype(np.uint8),
+               rng.randint(0, 255, (H // 2, W // 2)).astype(np.uint8),
+               rng.randint(0, 255, (H, W)).astype(np.uint8)]
+              for _ in range(3)]
+    kw = dict(width=W, height=H, pix_fmt="yuva420p", level=3, coder=2,
+              slices=4, gop_size=2)
+    host = FFV1Encoder(EncoderParams(**kw))
+    ref = [host.encode_frame(f) for f in frames]
+    dev = TPUFFV1Encoder(EncoderParams(**kw))
+    for fi, f in enumerate(frames):
+        pkt, kf = dev.encode_frames([f])[0]
+        assert (pkt, kf) == ref[fi], fi
+    dec = TPUFFV1Decoder(W, H, host.extradata)
+    for fi, (pkt, _) in enumerate(ref):
+        planes, _ = dec.decode_frame(pkt)
+        assert all(np.array_equal(np.asarray(a), b)
+                   for a, b in zip(planes, frames[fi])), fi
+
+
+@pytest.mark.parametrize("pix_fmt,bits,nplanes,cdiv,kw", [
+    ("yuv444p16le", 16, 3, 1, dict()),
+    ("yuv420p16le", 16, 3, 2, dict(gop_size=2)),
+    ("gray16le", 16, 1, 1, dict()),
+    ("gbrp12le", 12, 3, 1, dict()),       # coded width 13
+    ("gbrp14le", 14, 3, 1, dict()),       # coded width 15
+])
+def test_tpu_ext_decode_exact(pix_fmt, bits, nplanes, cdiv, kw):
+    """Deep-bit FUSED device decode (clipped-row schedule, coded widths
+    11..17): the lane scan must reproduce the host decoder exactly,
+    including GOP context carry-over."""
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+    W, H = 48, 32
+    params = dict(width=W, height=H, pix_fmt=pix_fmt, level=3, coder=2,
+                  slices=4, slicecrc=1)
+    params.update(kw)
+    frames = _deep_frames(W, H, bits, nplanes, cdiv)
+    host = FFV1Encoder(EncoderParams(**params))
+    pkts = [host.encode_frame(f)[0] for f in frames]
+    dec = TPUFFV1Decoder(W, H, host.extradata)
+    assert dec.uniform, "deep-bit stream must ride the fused path"
+    for fi, pkt in enumerate(pkts):
+        planes, _ = dec.decode_frame(pkt)
+        for a, b in zip(planes, frames[fi]):
+            assert np.array_equal(np.asarray(a), b), (pix_fmt, fi)
+
+
+def test_tpu_ext_decode_batch_and_damage():
+    """Deep-bit fused decode with batch=2 + CRC concealment."""
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+    W, H = 48, 32
+    params = dict(width=W, height=H, pix_fmt="yuv444p16le", level=3,
+                  coder=2, slices=4, slicecrc=1)
+    streams = [_deep_frames(W, H, 16, 3, 1, seed=s) for s in (2, 7)]
+    hosts = [FFV1Encoder(EncoderParams(**params)) for _ in range(2)]
+    pkts = [[h.encode_frame(f)[0] for f in s]
+            for h, s in zip(hosts, streams)]
+    dec = TPUFFV1Decoder(W, H, hosts[0].extradata, batch=2)
+    good0 = dec.decode_frames([pkts[0][0], pkts[1][0]])
+    # trash stream 0's second packet payload: conceal from frame 0
+    bad = bytearray(pkts[0][1])
+    s0, e0 = dec._split_slices(bytes(bad))[0]
+    bad[(s0 + e0) // 2] ^= 0x3C
+    res = dec.decode_frames([bytes(bad), pkts[1][1]])
+    assert dec.slice_damaged[0].any()
+    for si, flag in enumerate(dec.slice_damaged[0]):
+        if not flag:
+            continue
+        gm = dec.geoms[si]
+        got = np.asarray(res[0][0][0])[gm.y:gm.y + gm.height,
+                                       gm.x:gm.x + gm.width]
+        want = np.asarray(good0[0][0][0])[gm.y:gm.y + gm.height,
+                                          gm.x:gm.x + gm.width]
+        assert np.array_equal(got, want)
+    for a, b in zip(res[1][0], streams[1][1]):
+        assert np.array_equal(np.asarray(a), b)

@@ -26,8 +26,14 @@ naive gathers vs the encode scan's ~5 us):
     updates for the lane-dynamic mantissa/sign slots).
 
 Behavioral parity: ffv1dec.c:42-63 (get_symbol), :100-181 (decode_line),
-rangecoder.h:104-145 (get_rac/refill).  Bit depths <= 10 only (the
-distinct-slot property; > 10 falls back to dec_scan.py), YUV/gray planar.
+rangecoder.h:104-145 (get_rac/refill).  Covers every coded width the
+format produces (<= 16 planar, 17 for deep RGB): get_symbol's FFMIN row
+caps (1+min(j,9), 22+min(i,9)) make rows 10 and 31 carry several
+decisions per pixel above 10 bits, which is naturally correct here —
+the state row threads through the decision chain functionally, so
+repeated slots just transition sequentially.  The per-pixel byte
+window widens from 32 to 40 bytes above 10 bits (worst case one renorm
+byte per decision: 1 + (e_max+1) + e_max + 1 <= 35 for 17-bit).
 """
 from __future__ import annotations
 
@@ -64,9 +70,11 @@ def _machinery(bufs, states, one_tab, qt, bits: int, five_input: bool):
     e_max = bits - 1          # folded residual: |v| <= 1 << (bits-1)
     mask_v = (1 << bits) - 1
     pos32v = jnp.arange(32, dtype=jnp.int32)[None, :]
-    iota32v = jnp.arange(32, dtype=jnp.int32)
     qtabs = [qt[k] for k in range(5)]
-    WIN = 32
+    # window must cover one renorm byte per decision of the widest
+    # pixel: 1 + (e_max+1) + e_max + 1 decisions
+    WIN = 32 if bits <= 10 else 40
+    iotaWv = jnp.arange(WIN, dtype=jnp.int32)
 
     def transition(s, bit):
         """bit ? one[s] : zero[s] via the single-table identity."""
@@ -76,7 +84,7 @@ def _machinery(bufs, states, one_tab, qt, bits: int, five_input: bool):
 
     def win_byte(win, k):
         """win[:, k] for (L,) k — arithmetic one-hot read."""
-        d = iota32v[None, :] - k[:, None]
+        d = iotaWv[None, :] - k[:, None]
         return jnp.sum(win * jnp.maximum(0, 1 - d * d), axis=1)
 
     def rac(row, idx_static, idx_dyn, win, woff, low, rng, pos, active):
@@ -134,11 +142,13 @@ def _machinery(bufs, states, one_tab, qt, bits: int, five_input: bool):
             fi = lane_base + plane_base + ctx
             row = S[fi]                                # (L, 32) gather
 
-            # per-pixel byte window: ONE gather, <= S in-window refills
+            # per-pixel byte window: ONE gather, <= WIN in-window refills
             win = jnp.take_along_axis(
                 bufs_i32,
-                jnp.minimum(pos[:, None] + pos32v, cap - 1), axis=1)
-            win = jnp.where(pos[:, None] + pos32v < cap, win, 0)
+                jnp.minimum(pos[:, None] + iotaWv[None, :], cap - 1),
+                axis=1)
+            win = jnp.where(pos[:, None] + iotaWv[None, :] < cap,
+                            win, 0)
             woff = jnp.zeros((L,), jnp.int32)
 
             # --- get_symbol (signed), masked fixed slots ---
@@ -149,8 +159,12 @@ def _machinery(bufs, states, one_tab, qt, bits: int, five_input: bool):
             e = jnp.zeros((L,), jnp.int32)
             done = b0
             for j in range(e_max + 1):   # exponent unary chain + stop
+                # row 1+min(j,9): the FFMIN cap (ffv1dec.c:53) — above
+                # 10 bits row 10 repeats; the carried row makes the
+                # repeated transitions sequentially exact
                 bit, row, low, rng, pos, woff = rac(
-                    row, 1 + j, None, win, woff, low, rng, pos, ~done)
+                    row, 1 + min(j, 9), None, win, woff, low, rng, pos,
+                    ~done)
                 e = e + (bit & ~done).astype(jnp.int32)
                 done = done | ~bit
             a = jnp.ones((L,), jnp.int32)
@@ -172,6 +186,11 @@ def _machinery(bufs, states, one_tab, qt, bits: int, five_input: bool):
             pred = (Lv + m + T) - jnp.minimum(jnp.minimum(Lv, m), T) \
                 - jnp.maximum(jnp.maximum(Lv, m), T)
             val = (pred + diff) & mask_v
+            if bits == 16:
+                # int16_t sample-row storage wrap (ffv1dec.c: the ring
+                # rows are int16_t, so 16-bit samples go NEGATIVE and
+                # the median predictor compares them signed)
+                val = ((val + 0x8000) & 0xFFFF) - 0x8000
             cur = cur.at[:, x].set(val)
             return (cur, prev, cl, plft, S, low, rng, pos), val
         return pixel

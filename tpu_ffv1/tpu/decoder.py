@@ -149,7 +149,6 @@ class TPUFFV1Decoder:
         g0 = self.geoms[0]
         nh, nv = g.num_h_slices, g.num_v_slices
         self.uniform = (
-            self.coded_bits <= 10 and
             all(gm.width == g0.width and gm.height == g0.height
                 for gm in self.geoms) and
             width % nh == 0 and height % nv == 0 and
@@ -158,17 +157,18 @@ class TPUFFV1Decoder:
               g0.height % (1 << g.chroma_v_shift) == 0)))
         if self.rgb and not self.uniform:
             raise NotImplementedError(
-                "TPU RGB decode requires a uniform slice grid and a "
-                "<=9-bit source (coded width <= 10); use the host "
-                "decoder otherwise")
+                "TPU RGB decode requires a uniform slice grid; use the "
+                "host decoder otherwise")
 
         # Pallas decode kernel (VMEM-resident states/rows/byte FIFO) on
-        # real accelerators; it covers the 3-input context model (the
-        # 5-input model needs the TT row — XLA lane scan instead)
+        # real accelerators, for coded widths <= 10 (the distinct-slot
+        # decision schedule); wider runs the XLA lane scan, whose
+        # clipped-row schedule (1+min(j,9)) covers up to 17 bits
         import jax as _jax
-        self.use_pallas = _jax.devices()[0].platform != "cpu"
+        self.use_pallas = (_jax.devices()[0].platform != "cpu"
+                           and self.coded_bits <= 10)
 
-        if self.golomb and not self.uniform:
+        if self.golomb and (not self.uniform or self.bits > 10):
             raise NotImplementedError(
                 "TPU Golomb-Rice decode requires a uniform slice grid "
                 "and bits <= 10; use the host decoder otherwise")
