@@ -161,3 +161,25 @@ def test_tpu_ext_decode_batch_and_damage():
         assert np.array_equal(got, want)
     for a, b in zip(res[1][0], streams[1][1]):
         assert np.array_equal(np.asarray(a), b)
+
+
+@pytest.mark.parametrize("pix_fmt,bits,nplanes,cdiv", [
+    ("yuv444p16le", 16, 3, 1),
+    ("gray16le", 16, 1, 1),
+    ("yuv420p16le", 16, 3, 2),
+])
+def test_tpu_ext_golomb_decode_exact(pix_fmt, bits, nplanes, cdiv):
+    """Deep-bit fused Golomb-Rice device decode (esc_len = 16, int16
+    ring-row wrap), incl. GOP VLC-state carry-over."""
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+    W, H = 48, 32
+    params = dict(width=W, height=H, pix_fmt=pix_fmt, level=3, coder=0,
+                  slices=4, gop_size=2)
+    frames = _deep_frames(W, H, bits, nplanes, cdiv)
+    host = FFV1Encoder(EncoderParams(**params))
+    pkts = [host.encode_frame(f)[0] for f in frames]
+    dec = TPUFFV1Decoder(W, H, host.extradata)
+    for fi, pkt in enumerate(pkts):
+        planes, _ = dec.decode_frame(pkt)
+        for a, b in zip(planes, frames[fi]):
+            assert np.array_equal(np.asarray(a), b), (pix_fmt, fi)

@@ -168,10 +168,10 @@ class TPUFFV1Decoder:
         self.use_pallas = (_jax.devices()[0].platform != "cpu"
                            and self.coded_bits <= 10)
 
-        if self.golomb and (not self.uniform or self.bits > 10):
+        if self.golomb and not self.uniform:
             raise NotImplementedError(
-                "TPU Golomb-Rice decode requires a uniform slice grid "
-                "and bits <= 10; use the host decoder otherwise")
+                "TPU Golomb-Rice decode requires a uniform slice grid; "
+                "use the host decoder otherwise")
         # device VLC states for the Golomb path (drift, error_sum,
         # bias, count), GOP-persistent like the range-coder states
         self.device_out = device_out

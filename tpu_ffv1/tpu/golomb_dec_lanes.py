@@ -215,6 +215,10 @@ def golomb_decode_planes_lanes(bufs, vlc0, qt, pos0,
             pred = (Lv + m + T) - jnp.minimum(jnp.minimum(Lv, m), T) \
                 - jnp.maximum(jnp.maximum(Lv, m), T)
             val = (pred + diff) & mask_v
+            if bits == 16:
+                # int16_t ring-row storage wrap (see dec_scan_lanes):
+                # 16-bit samples compare SIGNED in the median predictor
+                val = ((val + 0x8000) & 0xFFFF) - 0x8000
             cur = cur.at[:, x].set(val)
             return (cur, prev, cl, plft, S, bitpos, run_index, run_mode,
                     run_count), val
