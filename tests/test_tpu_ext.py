@@ -183,3 +183,28 @@ def test_tpu_ext_golomb_decode_exact(pix_fmt, bits, nplanes, cdiv):
         planes, _ = dec.decode_frame(pkt)
         for a, b in zip(planes, frames[fi]):
             assert np.array_equal(np.asarray(a), b), (pix_fmt, fi)
+
+
+def test_tpu_ext_device_transcode_chain_16bit():
+    """Deep-bit on-device transcode: 16-bit planes stay in HBM between
+    TPUFFV1Decoder(device_out=True) and submit_device_frames; the
+    re-encode must equal encoding the original frames."""
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+    W, H = 48, 32
+    frames = _deep_frames(W, H, 16, 3, 1, seed=9)
+    src_params = EncoderParams(width=W, height=H, pix_fmt="yuv444p16le",
+                               level=3, coder=2, slices=4)
+    src = FFV1Encoder(src_params)
+    pkts = [src.encode_frame(f)[0] for f in frames]
+    out_params = EncoderParams(width=W, height=H, pix_fmt="yuv444p16le",
+                               level=3, coder=2, slices=4, gop_size=2)
+    want = FFV1Encoder(out_params)
+    wpk = [want.encode_frame(f) for f in frames]
+    dec = TPUFFV1Decoder(W, H, src.extradata, device_out=True)
+    enc = TPUFFV1Encoder(out_params)
+    for t, pkt in enumerate(pkts):
+        planes, _kf = dec.decode_frames([pkt])
+        enc.submit_device_frames(planes)
+        gp, gk = enc.collect_frames()[0]
+        assert (gp, gk) == wpk[t], f"frame {t}"
