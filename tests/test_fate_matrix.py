@@ -50,3 +50,28 @@ def test_fate_matrix(tmp_path, label, pix_fmt, encopts, kwargs):
     dec = FFV1Decoder(W, H, st.extradata or None)
     decoded = [dec.decode_frame(p)[0] for p in st.packets]
     assert frames_equal(decoded, frames)
+
+
+def test_ya8_native_engine_roundtrip():
+    """ya8 (interleaved luma+alpha) through BOTH host engines and both
+    coders — the native runtime decodes into channel-strided views via
+    its pixel-stride arg (ffv1dec.c:185 pixel_stride analog)."""
+    import numpy as np
+    from tpu_ffv1 import EncoderParams, FFV1Decoder, FFV1Encoder
+    W, H = 50, 38
+    rng = np.random.RandomState(4)
+    frames = [rng.randint(0, 255, (H, W, 2)).astype(np.uint8)
+              for _ in range(4)]
+    for coder in (0, 2):
+        enc = FFV1Encoder(EncoderParams(
+            width=W, height=H, pix_fmt="ya8", level=3, coder=coder,
+            slices=4, gop_size=2))
+        pkts = [enc.encode_frame(f) for f in frames]
+        for engine in ("spec", "native"):
+            dec = FFV1Decoder(W, H, enc.extradata, engine=engine)
+            for fi, (p, _k) in enumerate(pkts):
+                out, _ = dec.decode_frame(p)
+                arr = np.asarray(out if isinstance(out, np.ndarray)
+                                 else out[0])
+                assert np.array_equal(arr, frames[fi]), \
+                    (coder, engine, fi)

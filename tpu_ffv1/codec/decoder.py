@@ -346,10 +346,13 @@ class FFV1Decoder:
                     else 2
                 dec_plane(planes[-1][y:y + h, x:x + w], w, h, pidx,
                           8 if bits <= 8 else bits)
-        elif self.colorspace == 0:  # ya8 (interleaved: spec engine only)
+        elif self.colorspace == 0:  # ya8 (interleaved luma+alpha)
+            # both engines decode straight into the channel-strided
+            # views (the native runtime takes a pixel stride, exactly
+            # like the reference's pixel_stride arg, ffv1dec.c:185)
             sp = planes[0][y:y + h, x:x + w]
-            decode_plane(rp, ss, coder, sp[..., 0], w, h, 0, 8)
-            decode_plane(rp, ss, coder, sp[..., 1], w, h, 1, 8)
+            dec_plane(sp[..., 0], w, h, 0, 8)
+            dec_plane(sp[..., 1], w, h, 1, 8)
         else:
             if self.bits_per_raw_sample <= 8:
                 sp = planes[0][y:y + h, x:x + w]

@@ -192,7 +192,8 @@ def decode_plane(rp, ss, nsc: NativeSliceCoder, coder, dst: np.ndarray,
     one = np.ascontiguousarray(rc.one_state)
     zero = np.ascontiguousarray(rc.zero_state)
     ret = lib.ffv1n_decode_plane(
-        _ptr(dst), sample_size, w, h, dst.strides[0], 1, bits,
+        _ptr(dst), sample_size, w, h, dst.strides[0],
+        dst.strides[1] // sample_size, bits,
         1 if rp.packed_at_lsb else 0,
         _ptr(qt), _ptr(ps.states), _ptr(ps.vlc_states),
         _ptr(one), _ptr(zero),
