@@ -154,3 +154,32 @@ def test_mesh_golomb_invariance(ndev):
         for b in range(2):
             ref = hosts[b].encode_frame(fr)
             assert got[b][0] == ref[0], f"ndev={ndev} frame {t} stream {b}"
+
+
+def test_mesh_deep_bit_invariance():
+    """16-bit encode AND decode under shard_map (2 devices): the
+    extended encode schedule and the clipped-row decode scan both ride
+    the mesh path byte-exactly."""
+    import numpy as np
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+    from tpu_ffv1.tpu.sharding import make_mesh
+
+    W, H = 48, 32
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv444p16le",
+                           level=3, coder=2, slices=4, slicecrc=1,
+                           gop_size=2)
+    rng = np.random.RandomState(6)
+    frames = [[rng.randint(0, 65536, (H, W)).astype(np.uint16)
+               for _ in range(3)] for _ in range(3)]
+    host = FFV1Encoder(params, engine="spec")
+    ref = [host.encode_frame(f) for f in frames]
+    enc = TPUFFV1Encoder(params, mesh=make_mesh(2))
+    for t, f in enumerate(frames):
+        got = enc.encode_frames([f])[0]
+        assert got == ref[t], f"frame {t}"
+    dec = TPUFFV1Decoder(W, H, host.extradata, mesh=make_mesh(2))
+    for t, (pkt, _k) in enumerate(ref):
+        planes, _ = dec.decode_frame(pkt)
+        for a, b in zip(planes, frames[t]):
+            assert np.array_equal(np.asarray(a), b), t
