@@ -31,6 +31,7 @@ for kw in (
     dict(pix_fmt="yuv420p", level=3, coder=0, slices=4),   # golomb
     dict(pix_fmt="yuv444p16", level=3, coder=2, slices=4),
     dict(pix_fmt="bgr0", level=3, coder=2, slices=4),
+    dict(pix_fmt="ya8", level=3, coder=2, slices=4),  # strided decode
 ):
     enc = FFV1Encoder(EncoderParams(width=W, height=H, **kw),
                       engine="native")
@@ -39,6 +40,8 @@ for kw in (
         if kw["pix_fmt"] == "bgr0":
             f = rng.randint(0, 255, (H, W, 4)).astype(np.uint8)
             f[..., 3] = 0
+        elif kw["pix_fmt"] == "ya8":
+            f = rng.randint(0, 255, (H, W, 2)).astype(np.uint8)
         else:
             hi = 65535 if "16" in kw["pix_fmt"] else 255
             dt = np.uint16 if hi > 255 else np.uint8
@@ -48,7 +51,7 @@ for kw in (
                  rng.randint(0, hi, (H // sub, W // sub)).astype(dt)]
         pkt, _ = enc.encode_frame(f)
         out, _ = dec.decode_frame(pkt)
-        if kw["pix_fmt"] == "bgr0":
+        if kw["pix_fmt"] in ("bgr0", "ya8"):
             arr = np.asarray(out if isinstance(out, np.ndarray) else out[0])
             assert np.array_equal(arr, f)
         else:
