@@ -366,6 +366,52 @@ def bench_tpu_decode_sink(frames, budget_s=400.0):
         frames_per_step=batch)
 
 
+def bench_16bit_archival(budget_s=400.0):
+    """BASELINE config 3 shape (16-bit archival): yuv444p16 device
+    encode via the extended schedule (XLA ext scan; the Pallas kernel
+    covers coded widths <= 10)."""
+    import jax
+    from tpu_ffv1.codec.params import EncoderParams
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+
+    W, H = 960, 540     # quarter-1080p keeps the ext-scan step sane
+    batch = int(os.environ.get("FFV1_BENCH_BATCH16", "2"))
+    rng = np.random.RandomState(3)
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 257 % 65536)
+    frames = []
+    for t in range(3):
+        planes = [((base + t * 1031 + k * 7919) % 65536).astype(
+            np.uint16) + rng.randint(0, 255, (H, W)).astype(np.uint16)
+            for k in range(3)]
+        frames.append([(p & 0xFFFF).astype(np.uint16) for p in planes])
+    enc = TPUFFV1Encoder(EncoderParams(
+        width=W, height=H, pix_fmt="yuv444p16le", level=3, coder=2,
+        slices=12), batch=batch)
+    assert enc.ext
+    t0 = time.time()
+    enc.encode_frames([frames[0]] * batch)
+    log(f"16-bit first step (compile): {time.time() - t0:.1f}s")
+    steps = []
+    n_steps = 6
+    enc.submit_frames([frames[1]] * batch)
+    t0 = time.time()
+    for k in range(2, n_steps + 2):
+        enc.submit_frames([frames[k % 3]] * batch)
+        enc.collect_frames()
+        steps.append(time.time() - t0)
+        t0 = time.time()
+        if sum(steps) > budget_s:
+            break
+    enc.collect_frames()
+    step_ms = sorted(s * 1000 for s in steps)
+    med = step_ms[len(step_ms) // 2]
+    log(f"16-bit archival steady: median {med:.0f} ms/step "
+        f"({batch} frames/step)")
+    return batch * W * H / (med / 1000) / 1e6, dict(
+        median_ms=round(med, 1), n_steps=len(step_ms),
+        frames_per_step=batch, geometry=f"{W}x{H} yuv444p16")
+
+
 def bench_pframe_720p(budget_s=600.0):
     """BASELINE config 4: 720p P-frame encode on the device pipeline
     (motion search + OBMC + residual + MV section all on device,
@@ -665,6 +711,14 @@ def main():
             log(f"tpu pframe 720p: {p_mpix:.2f} Mpixel/s")
         except Exception as e:
             log(f"pframe bench failed ({e})")
+    d16_mpix = d16_stats = None
+    if have_dev and os.environ.get("FFV1_BENCH_SKIP_16BIT",
+                                   "0") not in ("1", "true"):
+        try:
+            d16_mpix, d16_stats = bench_16bit_archival()
+            log(f"tpu 16-bit archival: {d16_mpix:.2f} Mpixel/s")
+        except Exception as e:
+            log(f"16-bit bench failed ({e})")
     # headline = sustained encode with a device-resident source (frames
     # in HBM, compressed payload downloaded and assembled every step) —
     # the fair analog of the reference's RAM-resident measurement and
@@ -716,6 +770,9 @@ def main():
     if p_mpix is not None:
         out["pframe_720p_mpix_s"] = round(p_mpix, 3)
         out["pframe_steps"] = p_stats
+    if d16_mpix is not None:
+        out["archival16_mpix_s"] = round(d16_mpix, 3)
+        out["archival16_steps"] = d16_stats
     print(json.dumps(out))
 
 
