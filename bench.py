@@ -529,6 +529,11 @@ def check_hw_parity():
             pkt, kf = dev.encode_frame(f)
             ok &= (pkt == ref[fi][0] and kf == ref[fi][1])
         results[f"encode_{label}"] = ok
+        if label == "444p16":
+            # did the ext-schedule Pallas kernel actually run (False
+            # means the one-shot compile-failure fallback fired and the
+            # XLA ext scan produced these bytes)
+            results["encode_444p16_pallas_active"] = bool(dev.use_pallas)
         ok_all &= ok
         log(f"hw-check encode {label}: {'PASS' if ok else 'FAIL'}")
 

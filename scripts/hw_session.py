@@ -53,7 +53,7 @@ def main():
     r = run([py, "bench.py", "--check"], timeout=2400)
     log_result("check", r)
     if r["rc"] != 0:
-        # gather path broken on HW? isolate: retry with gather off
+        # isolate which new kernel path breaks on HW
         r2 = run([py, "bench.py", "--check"], timeout=2400,
                  env={"FFV1_PALLAS_GATHER": "0"})
         log_result("check_gather_off", r2)
@@ -61,7 +61,15 @@ def main():
             log_result("conclusion", dict(
                 note="gather path FAILS on HW, legacy path passes -> "
                      "flip FFV1_PALLAS_GATHER default to 0"))
-        return 1 if r2["rc"] else 0
+            return 0
+        r3 = run([py, "bench.py", "--check"], timeout=2400,
+                 env={"FFV1_PALLAS_EXT": "0"})
+        log_result("check_ext_off", r3)
+        if r3["rc"] == 0:
+            log_result("conclusion", dict(
+                note="ext kernel FAILS on HW, fast-only passes -> "
+                     "flip FFV1_PALLAS_EXT default to 0"))
+        return 1 if r3["rc"] else 0
 
     # 2a. encode device-source batch sweep (VERDICT lever (a): scan
     # cost grows sub-linearly with lanes -> larger batch = more Mpix/s)

@@ -144,3 +144,80 @@ def test_pallas_decode_five_input_interpret():
             planes, _ = dec.decode_frame(pkt)
             for a, b in zip(planes, frames[fi]):
                 assert np.array_equal(np.asarray(a), b), fi
+
+
+def test_pallas_ext_kernel_matches_xla_interpret():
+    """Extended schedule (coded widths 11..17): the Pallas ext branch
+    (running rows 10/31) must match rc_encode_scan_lanes_ext exactly —
+    emitted provisional bytes, final coder state and adaptive states."""
+    from tpu_ffv1.tpu.rc_scan_lanes import rc_encode_scan_lanes_ext
+
+    CC = T.CONTEXT_COUNTS[0]
+    one, zero = default_state_tables()
+    one_t, zero_t = jnp.asarray(one), jnp.asarray(zero)
+    rng0 = np.random.RandomState(11)
+    L, N, bits = 3, 256, 16
+    half = 1 << (bits - 1)
+    ctx = jnp.asarray(rng0.randint(0, CC, (L, N)), jnp.int32)
+    # full folded range incl. the extremes that exercise rows 10/31
+    # repeatedly (e up to 15)
+    diff_np = rng0.randint(-40, 41, (L, N))
+    big = rng0.rand(L, N) < 0.3
+    diff_np = np.where(big, rng0.randint(-half, half, (L, N)), diff_np)
+    diff_np[:, :4] = [[-half, half - 1, -half + 1, 0]] * L
+    diff = jnp.asarray(diff_np, jnp.int32)
+    act = jnp.asarray(rng0.rand(L, N) < 0.95)
+    states = jnp.full((L, CC, 32), 128, jnp.uint8)
+    lows = jnp.zeros(L, jnp.int32)
+    ranges = jnp.full(L, 0xFF00, jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        p1, v1, l1, r1, S1 = rc_encode_pallas(
+            ctx, diff, act, states, one_t, zero_t, lows, ranges,
+            bits, 64)
+    p0, v0, l0, r0, S0 = rc_encode_scan_lanes_ext(
+        ctx, diff, act, states, one_t, zero_t, lows, ranges, bits)
+
+    for lane in range(L):
+        b0 = np.asarray(p0[:, lane, :])[np.asarray(v0[:, lane, :])]
+        b1 = np.asarray(p1[:, lane, :])[np.asarray(v1[:, lane, :])]
+        assert np.array_equal(b0 & 0x1FFFF, b1), f"lane {lane}"
+    assert np.array_equal(np.asarray(l0), np.asarray(l1))
+    assert np.array_equal(np.asarray(r0), np.asarray(r1))
+    assert np.array_equal(np.asarray(S0), np.asarray(S1))
+
+
+def test_pallas_ext_full_pipeline_interpret():
+    """The 16-bit encoder with the Pallas ext kernel forced on (as on
+    real hardware) produces byte-identical packets to the host
+    encoder — validates the dispatch glue (s2=6 finalize) around the
+    ext kernel, not just the kernel body."""
+    from tpu_ffv1.codec.encoder import FFV1Encoder
+    from tpu_ffv1.codec.params import EncoderParams
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+
+    W, H = 16, 8
+    rng0 = np.random.RandomState(2)
+    frames = [[rng0.randint(0, 65536, (H, W)).astype(np.uint16)
+               for _ in range(3)] for _ in range(2)]
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv444p16le",
+                           level=3, coder=2, gop_size=2)
+    host = FFV1Encoder(params)
+    ref = [host.encode_frame(f) for f in frames]
+    dev = TPUFFV1Encoder(params)
+    assert dev.ext
+    dev.use_pallas = True
+
+    class _Sync:          # run worker closures on THIS thread so the
+        def submit(self, fn, *a, **k):   # interpret context applies
+            from concurrent.futures import Future
+            fut = Future()
+            fut.set_result(fn(*a, **k))
+            return fut
+
+    dev._executor = _Sync()
+    dev._upload_pool = _Sync()
+    with pltpu.force_tpu_interpret_mode():
+        for fi, f in enumerate(frames):
+            pkt, kf = dev.encode_frames([f])[0]
+            assert (pkt, kf) == ref[fi], f"frame {fi}"

@@ -164,9 +164,15 @@ class TPUFFV1Encoder:
         # Pallas kernel (VMEM-resident states) on real accelerators; the
         # XLA scan elsewhere (Pallas-CPU is interpreter-slow)
         import jax as _jax
-        self.use_pallas = (self.fast and
-                           _jax.devices()[0].platform != "cpu")
         import os as _os
+        # fast (<= 10 bit) kernel always; the ext-schedule kernel
+        # branch (11..17 bit, running rows 10/31) is interpret-proven
+        # and can be disabled with FFV1_PALLAS_EXT=0 if a toolchain
+        # rejects it (compile failures auto-fall back to the XLA scan)
+        _ext_ok = _os.environ.get("FFV1_PALLAS_EXT", "1") \
+            not in ("0", "false")
+        self.use_pallas = ((self.fast or (self.ext and _ext_ok)) and
+                           _jax.devices()[0].platform != "cpu")
         self.pallas_compact = bool(int(
             _os.environ.get("FFV1_PALLAS_COMPACT", "0")))
         # per-chunk VMEM windows scale with lane count; keep them
@@ -582,15 +588,22 @@ class TPUFFV1Encoder:
         def scanfin(ctxs, diffs, acts, states0, lows, ranges, prefixes,
                     plens):
             if bits > 10:
-                # extended schedule (rows 10/31 repeat; XLA form — the
-                # Pallas ext kernel routes here too until specialized)
-                from .rc_scan_lanes import rc_encode_scan_lanes_ext
-                prov, valid, low, rng, states_out = \
-                    rc_encode_scan_lanes_ext(
-                        ctxs, diffs, acts, states0, self.one_tab,
-                        self.zero_tab, lows, ranges, bits)
-                packed = jnp.moveaxis(
-                    prov + (valid.astype(jnp.int32) << 20), 1, 2)
+                # extended schedule (rows 10/31 repeat): Pallas ext
+                # branch on real accelerators, XLA form elsewhere
+                if self.use_pallas and use_pallas:
+                    packed, low, rng, states_out = \
+                        rc_encode_pallas_packed(
+                            ctxs, diffs, acts, states0, self.one_tab,
+                            self.zero_tab, lows, ranges, bits,
+                            self.pallas_chunk)
+                else:
+                    from .rc_scan_lanes import rc_encode_scan_lanes_ext
+                    prov, valid, low, rng, states_out = \
+                        rc_encode_scan_lanes_ext(
+                            ctxs, diffs, acts, states0, self.one_tab,
+                            self.zero_tab, lows, ranges, bits)
+                    packed = jnp.moveaxis(
+                        prov + (valid.astype(jnp.int32) << 20), 1, 2)
                 out, counts, overflow = finalize_packed(
                     packed, low, rng, prefixes, plens, s2=s2)
                 return out, counts, states_out, overflow, packed, low, rng

@@ -179,40 +179,140 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
             .astype(jnp.int32)
         nzR = vR != 0
         apxB = apxR != 0
-        is_expT = (posT >= 1) & (posT <= 10)
-        is_manT = posT >= 22
-        actT = ((posT == 0) |
-                (is_expT & nzR & (posT - 1 <= eR)) |
-                (is_manT & nzR & (posT - 22 < eR))) & apxB
-        bitT = jnp.where(
-            posT == 0, (~nzR).astype(jnp.int32),
-            jnp.where(is_expT, (posT - 1 < eR).astype(jnp.int32),
-                      (aR >> jnp.clip(posT - 22, 0, 30)) & 1))
 
-        # sign: exactly one of rows 11..11+e_max codes (v < 0), at
-        # row 11+e (ffv1enc.c:217-228) — one dynamic step
-        signsel = posT == (11 + eR)                      # (32, L)
-        s_sign = jnp.sum(jnp.where(signsel, rowsT, 0), axis=0,
-                         keepdims=True)                  # (1, L)
-        sign_bit = (vR < 0).astype(jnp.int32)
-        sign_act = nzR & apxB
+        def chain_step(aj, s, b, low, rng):
+            r1 = (rng * s) >> 8
+            nr = jnp.where(b == 1, r1, rng - r1)
+            nl = low + jnp.where(b == 1, rng - r1, 0)
+            emit = aj & (nr < 0x100)
+            pv = ((nl >> 8) |
+                  jnp.where((nl & 0xFF) != 0, 1 << 16, 0)) + \
+                emit.astype(jnp.int32) * (1 << 20)
+            nl = jnp.where(emit, (nl & 0xFF) << 8, nl)
+            nr = jnp.where(emit, nr << 8, nr)
+            low = jnp.where(aj, nl, low)
+            rng = jnp.where(aj, nr, rng)
+            return pv, low, rng
 
-        # per-position transitions (independent of the low/range chain:
-        # state indices touched within a pixel are pairwise distinct)
-        news = {p: transition(rowsT[p:p + 1, :], bitT[p:p + 1, :])
-                for p in order}
-        new_sign = transition(s_sign, sign_bit)
+        if bits <= 10:
+            is_expT = (posT >= 1) & (posT <= 10)
+            is_manT = posT >= 22
+            actT = ((posT == 0) |
+                    (is_expT & nzR & (posT - 1 <= eR)) |
+                    (is_manT & nzR & (posT - 22 < eR))) & apxB
+            bitT = jnp.where(
+                posT == 0, (~nzR).astype(jnp.int32),
+                jnp.where(is_expT, (posT - 1 < eR).astype(jnp.int32),
+                          (aR >> jnp.clip(posT - 22, 0, 30)) & 1))
 
-        base = jnp.where(signsel & sign_act,
-                         jnp.broadcast_to(new_sign, (32, L)), rowsT)
-        rows_new = []
-        for p in range(32):
-            if p in news:
-                rows_new.append(jnp.where(actT[p:p + 1, :], news[p],
-                                          base[p:p + 1, :]))
-            else:
-                rows_new.append(base[p:p + 1, :])
-        new_rowsT = jnp.concatenate(rows_new, 0)         # (32, L) int32
+            # sign: exactly one of rows 11..11+e_max codes (v < 0), at
+            # row 11+e (ffv1enc.c:217-228) — one dynamic step
+            signsel = posT == (11 + eR)                  # (32, L)
+            s_sign = jnp.sum(jnp.where(signsel, rowsT, 0), axis=0,
+                             keepdims=True)              # (1, L)
+            sign_bit = (vR < 0).astype(jnp.int32)
+            sign_act = nzR & apxB
+
+            # per-position transitions (independent of the low/range
+            # chain: state indices touched within a pixel are pairwise
+            # distinct)
+            news = {p: transition(rowsT[p:p + 1, :], bitT[p:p + 1, :])
+                    for p in order}
+            new_sign = transition(s_sign, sign_bit)
+
+            base = jnp.where(signsel & sign_act,
+                             jnp.broadcast_to(new_sign, (32, L)), rowsT)
+            rows_new = []
+            for p in range(32):
+                if p in news:
+                    rows_new.append(jnp.where(actT[p:p + 1, :], news[p],
+                                              base[p:p + 1, :]))
+                else:
+                    rows_new.append(base[p:p + 1, :])
+            new_rowsT = jnp.concatenate(rows_new, 0)     # (32, L) int32
+
+            outs = []
+            for p in order:
+                pv, low, rng = chain_step(actT[p:p + 1, :],
+                                          rowsT[p:p + 1, :],
+                                          bitT[p:p + 1, :], low, rng)
+                outs.append(pv)
+            pv, low, rng = chain_step(sign_act, s_sign, sign_bit,
+                                      low, rng)
+            outs.append(pv)
+        else:
+            # extended schedule (coded widths 11..17): put_symbol's
+            # FFMIN row caps give rows 10 and 31 SEVERAL decisions per
+            # pixel (ffv1enc.c:185-231) — those two rows carry RUNNING
+            # states transitioned sequentially through the slot walk;
+            # everything else keeps the one-shot batch adaptation.
+            # ``order`` is rc_scan_fast.ext_slots(bits); semantics
+            # mirror rc_scan_lanes.rc_encode_scan_lanes_ext exactly.
+            signsel = posT == (11 + jnp.minimum(eR, 10))
+            s_sign = jnp.sum(jnp.where(signsel, rowsT, 0), axis=0,
+                             keepdims=True)
+            sign_bit = (vR < 0).astype(jnp.int32)
+            sign_act = nzR & apxB
+            s10 = rowsT[10:11, :]
+            s31 = rowsT[31:32, :]
+            news = {}
+            new_sign = s_sign
+            outs = []
+            for sl in order:
+                kind = sl[0]
+                if kind == "zero":
+                    act = apxB
+                    bit = (~nzR).astype(jnp.int32)
+                    s = rowsT[0:1, :]
+                elif kind == "exp":
+                    j = sl[1]
+                    act = apxB & nzR & (j <= eR)
+                    bit = (j < eR).astype(jnp.int32)
+                    s = rowsT[1 + j:2 + j, :] if j <= 8 else s10
+                elif kind == "man31":
+                    r = sl[1]
+                    act = apxB & nzR & (eR >= 10 + r)
+                    bit = (aR >> jnp.clip(eR - 1 - r, 0, 30)) & 1
+                    s = s31
+                elif kind == "man":
+                    mi = sl[1]
+                    act = apxB & nzR & (mi < eR)
+                    bit = (aR >> mi) & 1
+                    s = rowsT[22 + mi:23 + mi, :]
+                else:  # sign
+                    act = sign_act
+                    bit = sign_bit
+                    s = s_sign
+                pv, low, rng = chain_step(act, s, bit, low, rng)
+                outs.append(pv)
+                ns = transition(s, bit)
+                if kind == "exp" and sl[1] >= 9:
+                    s10 = jnp.where(act, ns, s10)
+                elif kind == "man31":
+                    s31 = jnp.where(act, ns, s31)
+                elif kind == "sign":
+                    new_sign = jnp.where(act, ns, s_sign)
+                elif kind == "exp":
+                    news[1 + sl[1]] = (act, ns)
+                elif kind == "man":
+                    news[22 + sl[1]] = (act, ns)
+                else:
+                    news[0] = (act, ns)
+
+            base = jnp.where(signsel & sign_act,
+                             jnp.broadcast_to(new_sign, (32, L)), rowsT)
+            rows_new = []
+            for p in range(32):
+                if p == 10:
+                    rows_new.append(s10)
+                elif p == 31:
+                    rows_new.append(s31)
+                elif p in news:
+                    act, ns = news[p]
+                    rows_new.append(jnp.where(act, ns, base[p:p + 1, :]))
+                else:
+                    rows_new.append(base[p:p + 1, :])
+            new_rowsT = jnp.concatenate(rows_new, 0)     # (32, L) int32
 
         # transpose back to (L, 32) for the per-lane write loop
         new_rows8 = jax.lax.dot_general(
@@ -241,29 +341,6 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
             wmask = (iota8 == subs[lane]) & lane_lt32    # (8, 128)
             nb = jnp.where(wmask, nr128, blocks[lane])
             states[lane, pl.ds(base_r, 8), :] = nb
-
-        outs = []
-
-        def chain_step(aj, s, b, low, rng):
-            r1 = (rng * s) >> 8
-            nr = jnp.where(b == 1, r1, rng - r1)
-            nl = low + jnp.where(b == 1, rng - r1, 0)
-            emit = aj & (nr < 0x100)
-            pv = ((nl >> 8) |
-                  jnp.where((nl & 0xFF) != 0, 1 << 16, 0)) + \
-                emit.astype(jnp.int32) * (1 << 20)
-            nl = jnp.where(emit, (nl & 0xFF) << 8, nl)
-            nr = jnp.where(emit, nr << 8, nr)
-            low = jnp.where(aj, nl, low)
-            rng = jnp.where(aj, nr, rng)
-            return pv, low, rng
-
-        for p in order:
-            pv, low, rng = chain_step(actT[p:p + 1, :], rowsT[p:p + 1, :],
-                                      bitT[p:p + 1, :], low, rng)
-            outs.append(pv)
-        pv, low, rng = chain_step(sign_act, s_sign, sign_bit, low, rng)
-        outs.append(pv)
 
         if compact:
             # per-pixel slot compaction in-kernel: >99.99% of pixels
@@ -318,8 +395,17 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
     CC_real = states0.shape[1]
     NB = -(-CC_real // 8)                # 8 context rows per (8,128) tile
     CC = NB * 8                          # scratch sublane count
-    order = chain_order_nosign(bits)
-    S = len(order) + 1                   # + the collapsed sign slot
+    if bits <= 10:
+        order = chain_order_nosign(bits)
+        S = len(order) + 1               # + the collapsed sign slot
+    else:
+        # extended schedule: ``order`` becomes the ext slot list (sign
+        # included); the in-kernel per-pixel compaction is fast-path
+        # only
+        from .rc_scan_fast import ext_slots
+        order = tuple(ext_slots(bits))
+        S = len(order)
+        assert not compact
     SOUT = 8 if compact else S
     assert N % chunk == 0
     nsteps = N // chunk
