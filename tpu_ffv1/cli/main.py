@@ -27,6 +27,7 @@ import time
 
 import numpy as np
 
+from .play import seek_start
 
 
 def build_parser():
@@ -37,10 +38,13 @@ def build_parser():
     p.add_argument("-f", dest="fmt", default=None,
                    help="input/output format (rawvideo|avi); inferred "
                         "from extension otherwise")
-    p.add_argument("-pix_fmt", default="yuv420p",
+    p.add_argument("-pix_fmt", default=None,
                    help="coded format on encode / output raw format on "
-                        "decode; conversions run through the swscale "
-                        "analog (neighbor+bitexact semantics)")
+                        "decode; DEFAULT: preserve the source format "
+                        "(no silent conversion — lossless semantics). "
+                        "Conversions run through the swscale analog "
+                        "(neighbor+bitexact); rawvideo input with no "
+                        "format flags assumes yuv420p")
     p.add_argument("-in_pix_fmt", default=None,
                    help="raw INPUT format when it differs from -pix_fmt "
                         "(the in-pipeline conversion the FATE harness "
@@ -197,9 +201,9 @@ def _mux(path, w, h, extradata, pkts, keys):
         sys.exit("error: only .avi/.mkv/.nut output is supported")
 
 
-def _encode_frames_to(args, frames, w, h):
+def _encode_frames_to(args, frames, w, h, pix_fmt):
     """Shared encode+mux tail (ffmpeg.c do_video_out + muxer): frames
-    are already in args.pix_fmt at (w, h).  Returns the report line."""
+    are already in ``pix_fmt`` at (w, h).  Returns the report line."""
     from ..codec.params import EncoderParams
     from ..io import avi as avi_io
     stats_in = None
@@ -210,7 +214,7 @@ def _encode_frames_to(args, frames, w, h):
                      "(run -pass 1 first)")
         stats_in = open(logf).read()
     params = EncoderParams(
-        width=w, height=h, pix_fmt=args.pix_fmt, level=args.level,
+        width=w, height=h, pix_fmt=pix_fmt, level=args.level,
         coder=args.coder, context_model=args.context,
         slices=args.slices, slicecrc=args.slicecrc, gop_size=args.gop,
         strict=args.strict, pass1=args.rc_pass == 1,
@@ -263,38 +267,43 @@ def run(argv=None):
         # ---- decode path ----
         st, _kind = _read_container(args.input)
         if args.codec == "copy":
-            # stream copy (ffmpeg -c:v copy): remux packets untouched
+            # stream copy (ffmpeg -c:v copy): remux packets untouched;
+            # -ss cuts at the nearest preceding keyframe like ffmpeg
             if not _is_container(args.output):
                 sys.exit("error: -c:v copy needs a container output")
-            pkts = st.packets[:args.frames]
-            keys = list(st.keyflags)[:args.frames]
+            start = seek_start(st.keyflags, args.seek) \
+                if args.seek else 0
+            end = None if args.frames is None else start + args.frames
+            pkts = st.packets[start:end]
+            keys = list(st.keyflags)[start:end]
             _mux(args.output, st.width, st.height, st.extradata or b"",
                  pkts, keys)
-            print(f"copied {len(pkts)} packets {st.width}x{st.height} "
-                  f"-> {args.output}", file=sys.stderr)
+            print(f"copied {len(pkts)} packets {st.width}x{st.height}"
+                  + (f" (cut at keyframe {start})" if start else "")
+                  + f" -> {args.output}", file=sys.stderr)
             return 0
         if args.engine == "tpu":
+            if not st.extradata:
+                sys.exit("error: -engine tpu needs out-of-band headers "
+                         "(version >= 2); use the host decoder for "
+                         "v0/v1 streams")
             from ..tpu.decoder import TPUFFV1Decoder
-            dec = TPUFFV1Decoder(st.width, st.height,
-                                 st.extradata or None)
+            dec = TPUFFV1Decoder(st.width, st.height, st.extradata)
         else:
             from ..codec.decoder import FFV1Decoder
             dec = FFV1Decoder(st.width, st.height, st.extradata or None,
                               engine=args.engine)
-        start = 0
-        if args.seek:
-            from .play import seek_start
-            start = seek_start(st.keyflags, args.seek)
+        start = seek_start(st.keyflags, args.seek) if args.seek else 0
         stop = None if args.frames is None else args.seek + args.frames
         frames = []
         for i, pkt in enumerate(st.packets[start:stop], start):
             planes, _ = dec.decode_frame(pkt)
+            npix += st.width * st.height   # roll-in frames cost too
             if i < args.seek:
                 continue           # keyframe roll-in, not emitted
             frames.append([np.asarray(p) for p in planes]
                           if isinstance(planes, (list, tuple))
                           else np.asarray(planes))
-            npix += st.width * st.height
         conv = ""
         cur_fmt, cur_w, cur_h = dec.pix_fmt, st.width, st.height
         if args.vf:
@@ -304,19 +313,23 @@ def run(argv=None):
             frames = g.run(frames)
             cur_fmt, cur_w, cur_h = g.out_fmt, g.out_w, g.out_h
             conv = f" [vf: {args.vf}]"
-        if cur_fmt and args.pix_fmt != cur_fmt:
+        if args.pix_fmt and cur_fmt and args.pix_fmt != cur_fmt:
             from ..swscale import convert
             frames = [convert(f, cur_fmt, args.pix_fmt, cur_w, cur_h)
                       for f in frames]
             conv += f" ({cur_fmt} -> {args.pix_fmt})"
+            cur_fmt = args.pix_fmt
         if _is_container(args.output):
             # transcode: decoded frames re-encode through the shared
-            # tail (ffmpeg.c decode -> filter -> encode chain)
-            line = _encode_frames_to(args, frames, cur_w, cur_h)
+            # tail (ffmpeg.c decode -> filter -> encode chain); the
+            # source format is preserved unless -pix_fmt asked
+            npix += len(frames) * cur_w * cur_h
+            line = _encode_frames_to(args, frames, cur_w, cur_h,
+                                     cur_fmt)
             what = "trans" + line.removeprefix("en") + conv
         elif _is_y4m(args.output):
             from ..io.y4m import write_y4m
-            write_y4m(args.output, frames, args.pix_fmt, cur_w, cur_h,
+            write_y4m(args.output, frames, cur_fmt, cur_w, cur_h,
                       fps=st.fps)
             what = f"decoded {len(frames)} frames {cur_w}x{cur_h}{conv}"
         else:
@@ -335,7 +348,7 @@ def run(argv=None):
             if not args.size:
                 sys.exit("error: -s WxH is required for rawvideo input")
             w, h = (int(v) for v in args.size.split("x"))
-            in_fmt = args.in_pix_fmt or args.pix_fmt
+            in_fmt = args.in_pix_fmt or args.pix_fmt or "yuv420p"
             frames = raw_io.read_frames(args.input, in_fmt, w, h)
         if args.seek:
             frames = frames[args.seek:]
@@ -347,12 +360,22 @@ def run(argv=None):
                             dst_fmt=args.pix_fmt or None)
             frames = g.run(frames)
             in_fmt, w, h = g.out_fmt, g.out_w, g.out_h
-        if in_fmt != args.pix_fmt:
+        enc_fmt = args.pix_fmt or in_fmt     # preserve source format
+        if in_fmt != enc_fmt:
             from ..swscale import convert
-            frames = [convert(f, in_fmt, args.pix_fmt, w, h)
+            frames = [convert(f, in_fmt, enc_fmt, w, h)
                       for f in frames]
         npix += len(frames) * w * h
-        what = _encode_frames_to(args, frames, w, h)
+        if _is_container(args.output):
+            what = _encode_frames_to(args, frames, w, h, enc_fmt)
+        elif _is_y4m(args.output):
+            # conversion-only chain (no codec): y4m/raw in -> y4m out
+            from ..io.y4m import write_y4m
+            write_y4m(args.output, frames, enc_fmt, w, h)
+            what = f"wrote {len(frames)} frames {w}x{h} ({enc_fmt})"
+        else:
+            raw_io.write_frames(args.output, frames)
+            what = f"wrote {len(frames)} frames {w}x{h} ({enc_fmt})"
 
     dt = time.time() - t0
     print(what, file=sys.stderr)

@@ -41,6 +41,12 @@ def _to_rgb(planes, pix_fmt, w, h):
             return np.stack([r, g, b], -1).astype(np.uint8)
         g, b, r = (norm(planes[i]) for i in range(3))   # GBR plane order
         return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+    if fmt.interleaved:         # ya8: luma channel, alpha over black
+        arr = np.asarray(planes if isinstance(planes, np.ndarray)
+                         else planes[0]).astype(np.float32)
+        y = arr[..., 0] * (arr[..., 1] / 255.0)
+        return np.repeat(np.clip(y, 0, 255)[..., None],
+                         3, -1).astype(np.uint8)
     y = norm(planes[0])
     if not fmt.chroma_planes:   # gray
         return np.repeat(np.clip(y, 0, 255)[..., None],

@@ -101,11 +101,21 @@ class FFV1ServerHandler(BaseHTTPRequestHandler):
             return
         try:
             if ext == ".y4m" and feed.ext != ".y4m":
+                # decode + validate representability BEFORE the status
+                # line — a late failure would corrupt a 200 body with
+                # an embedded 500
                 frames, fmt, w, h, fps = feed.decoded()
+                from ..codec.pixfmt import get_pix_fmt
+                from ..io.y4m import _WRITE_TAGS, write_y4m_stream
+                pf = get_pix_fmt(fmt)
+                if _WRITE_TAGS.get(pf.name) is None or pf.transparency:
+                    self.send_error(
+                        415, f"pix_fmt {fmt} not representable in "
+                             "yuv4mpegpipe")
+                    return
                 self.send_response(200)
                 self.send_header("Content-Type", _CTYPES[".y4m"])
                 self.end_headers()
-                from ..io.y4m import write_y4m_stream
                 write_y4m_stream(self.wfile, frames, fmt, w, h, fps)
             elif ext == feed.ext or ext == "":
                 with open(feed.path, "rb") as f:
