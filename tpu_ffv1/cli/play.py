@@ -101,7 +101,13 @@ def seek_start(keyflags, target):
 def _decode_from(path, ss):
     """Demux + decode honoring keyframe random access: only packets from
     the seek keyframe onward are decoded.  -> (frames-from-ss, pix_fmt,
-    w, h, fps, restart_index)."""
+    w, h, fps, restart_index).
+
+    NOTE: cli/main.py's decode path implements the same roll-in
+    semantics with engine selection and -frames/-benchmark accounting;
+    if seek semantics change, update both (they are asserted against
+    each other indirectly via tests/test_cli_extras.py and
+    tests/test_play_serve.py)."""
     from .main import _is_y4m, _read_container
     if _is_y4m(path):
         from ..io.y4m import read_y4m
