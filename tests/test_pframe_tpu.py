@@ -198,3 +198,20 @@ def test_tpu_pframe_10bit_422():
         planes, _ = dec.decode_frame(pkt)
         for a, b in zip(planes, frames[fi]):
             assert np.array_equal(np.asarray(a), b), fi
+
+
+def test_tpu_pframe_decoder_ctx1():
+    """5-input context model (context_model=1) through the device
+    P-frame decoder: the residual scan must use the quant table /
+    context model the slice headers carry (was hardcoded to table 0)."""
+    from tpu_ffv1.pframe.tpu import TPUFFV1PDecoder
+    frames = _moving_scene(n=4)
+    params = _params(context_model=1, strict=-2)
+    host = FFV1PEncoder(params, experimental=True)
+    pkts = [host.encode_frame(f) for f in frames]
+    dec = TPUFFV1PDecoder(W, H, host.extradata)
+    for fi, (pkt, kf) in enumerate(pkts):
+        planes, k2 = dec.decode_frame(pkt)
+        assert k2 == kf
+        for a, b in zip(planes, frames[fi]):
+            assert np.array_equal(np.asarray(a), b), fi

@@ -316,11 +316,28 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
             if keyframe:
                 states0 = jnp.full_like(self.states, 128)
                 with phase_timer("tpu-penc", "dispatch-key"):
-                    (out, counts, states_out, overflow, packed, low,
-                     rng, _rowbytes) = self._frame_fn(
-                        cur, states0, jnp.asarray(lows),
-                        jnp.asarray(ranges), jnp.asarray(prefixes),
-                        jnp.asarray(plens))
+                    try:
+                        (out, counts, states_out, overflow, packed, low,
+                         rng, _rowbytes) = self._frame_fn(
+                            cur, states0, jnp.asarray(lows),
+                            jnp.asarray(ranges), jnp.asarray(prefixes),
+                            jnp.asarray(plens))
+                    except Exception as e:
+                        # same one-shot Pallas->XLA fallback as the
+                        # parent's _submit_fast (kernel support varies
+                        # across TPU toolchains)
+                        if not self.use_pallas:
+                            raise
+                        from ..log import WARNING, log
+                        log(WARNING, "tpu-penc", "Pallas kernel failed "
+                            f"({type(e).__name__}); falling back to "
+                            "the XLA scan path")
+                        self.use_pallas = False
+                        (out, counts, states_out, overflow, packed, low,
+                         rng, _rowbytes) = self._frame_fn(
+                            cur, states0, jnp.asarray(lows),
+                            jnp.asarray(ranges), jnp.asarray(prefixes),
+                            jnp.asarray(plens), use_pallas=False)
                 # the keyframe's evolved intra contexts are NOT the
                 # P chain's: the host codec clears a fresh SliceState
                 # at each GOP start (codec.py _PSliceState / ps.ss,
@@ -331,11 +348,26 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
             else:
                 states0 = self.states
                 with phase_timer("tpu-penc", "dispatch-p"):
-                    (out, counts, states_out, overflow, packed, low,
-                     rng, new_prev) = self._p_fn(
-                        cur, self.ref_dev, self.prev_mvs, states0,
-                        jnp.asarray(lows), jnp.asarray(ranges),
-                        jnp.asarray(prefixes), jnp.asarray(plens))
+                    try:
+                        (out, counts, states_out, overflow, packed, low,
+                         rng, new_prev) = self._p_fn(
+                            cur, self.ref_dev, self.prev_mvs, states0,
+                            jnp.asarray(lows), jnp.asarray(ranges),
+                            jnp.asarray(prefixes), jnp.asarray(plens))
+                    except Exception as e:
+                        if not self.use_pallas:
+                            raise
+                        from ..log import WARNING, log
+                        log(WARNING, "tpu-penc", "Pallas kernel failed "
+                            f"({type(e).__name__}); falling back to "
+                            "the XLA scan path")
+                        self.use_pallas = False
+                        (out, counts, states_out, overflow, packed, low,
+                         rng, new_prev) = self._p_fn(
+                            cur, self.ref_dev, self.prev_mvs, states0,
+                            jnp.asarray(lows), jnp.asarray(ranges),
+                            jnp.asarray(prefixes), jnp.asarray(plens),
+                            use_pallas=False)
                 self.prev_mvs = new_prev
             self.states = states_out
             self.ref_dev = cur
@@ -424,7 +456,8 @@ class TPUFFV1PDecoder:
         self.ref_dev = None          # tuple of (B, Hk, Wk) int32 planes
         self.slice_damaged = b.slice_damaged
         self._p_dec = jax.jit(self._decode_p_device,
-                              static_argnames=("use_pallas",))
+                              static_argnames=("use_pallas", "qidx",
+                                               "five"))
 
     # -------------------------------------------------------------
 
@@ -483,33 +516,35 @@ class TPUFFV1PDecoder:
                     mvs[lane] = 0
                 lows[lane], ranges[lane], poss[lane] = (src.low, src.range,
                                                         src.pos)
-        inter = ~intra
         self.prev_mvs = np.where(intra[..., None], self.prev_mvs, mvs)
         return mvs, intra, lows, ranges, poss
 
     def _decode_p_device(self, bufs, states0, refs, mvs, intra, lows,
-                         ranges, poss, use_pallas=True):
+                         ranges, poss, qidx=0, five=False,
+                         use_pallas=True):
         """Residual plane decode + OBMC reconstruction, one fused
-        program.  Returns (full planes tuple, states_out, low, rng,
-        pos)."""
+        program.  ``qidx``/``five`` select the quant table / context
+        model the slice headers carry (the host decoder reads them per
+        slice; the fused path requires them uniform).  Returns (full
+        planes tuple, states_out, low, rng, pos)."""
         from ..tpu.dec_scan_lanes import rc_decode_planes_lanes
         from ..tpu.rc_dec_pallas import rc_decode_planes_pallas
         b = self.base
         g = b.g
-        cc = g.context_counts[0]
+        cc = g.context_counts[qidx]
         specs = tuple((w, h, sp * cc)
                       for (w, h, sp) in b._plane_specs())
-        qt = b.qts[0]
+        qt = b.qts[qidx]
         if use_pallas and b.use_pallas:
             planes_dev, states_out, low, rng, pos = \
                 rc_decode_planes_pallas(
                     bufs, states0, b.one_tab, b.zero_tab, qt,
-                    lows, ranges, poss, specs, self.p_bits)
+                    lows, ranges, poss, specs, self.p_bits, five)
         else:
             planes_dev, states_out, low, rng, pos = \
                 rc_decode_planes_lanes(
                     bufs, states0, b.one_tab, b.zero_tab, qt,
-                    lows, ranges, poss, specs, self.p_bits, False)
+                    lows, ranges, poss, specs, self.p_bits, five)
 
         bits = b.bits
         mid = 1 << (bits - 1)
@@ -575,10 +610,15 @@ class TPUFFV1PDecoder:
 
         mvs, intra, lows, ranges, poss = self._parse_mv_sections(parsed)
 
-        cc = b.g.context_counts[0]
+        qidx0 = parsed[0][1][0][1]
+        if any(sl[1] != qidx0 for pr in parsed for sl in pr[1]):
+            raise NotImplementedError(
+                "TPU FFV1-P decode requires a shared quant table "
+                "across slices; use the host decoder")
+        five = bool(b.g.quant_tables[qidx0][3][127])
         if self.p_states is None:
             self.p_states = jnp.asarray(np.tile(
-                b._fresh_states(0)[None], (self.L, 1, 1)))
+                b._fresh_states(qidx0)[None], (self.L, 1, 1)))
         maxlen = max(len(s[0]) for _, sl, _e in parsed for s in sl)
         cap = max(4096, 1 << (maxlen - 1).bit_length())
         bufs = np.zeros((self.L, cap), np.uint8)
@@ -590,7 +630,8 @@ class TPUFFV1PDecoder:
         full, states_out, low, rng, pos = self._p_dec(
             jnp.asarray(bufs), self.p_states, self.ref_dev,
             jnp.asarray(mvs), jnp.asarray(intra), jnp.asarray(lows),
-            jnp.asarray(ranges), jnp.asarray(poss))
+            jnp.asarray(ranges), jnp.asarray(poss), qidx=qidx0,
+            five=five)
         self.p_states = states_out
 
         # sentinel + byte-count validation (ffv1dec.c:459-467)

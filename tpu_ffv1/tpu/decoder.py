@@ -428,14 +428,15 @@ class TPUFFV1Decoder:
                             db, states0, self.one_tab, self.zero_tab,
                             qt, jnp.asarray(lows), jnp.asarray(ranges),
                             jnp.asarray(poss), specs, self.bits, five)
-                except Exception:
+                except Exception as e:
                     # Mosaic/compile errors surface at first dispatch;
                     # the XLA lane scan is byte-identical — fall back
-                    # once instead of failing the run
+                    # once instead of failing the run (transient
+                    # runtime errors land here too; original logged)
                     from ..log import WARNING, log
                     log(WARNING, "tpu-dec", "Pallas decode kernel "
-                        "failed to compile; falling back to the XLA "
-                        "scan path")
+                        f"failed ({type(e).__name__}: {e}); falling "
+                        "back to the XLA scan path")
                     self.use_pallas = False
                     planes_dev, states_out, low, rng, pos = \
                         rc_decode_planes_lanes(

@@ -175,6 +175,14 @@ class TPUFFV1Encoder:
                            _jax.devices()[0].platform != "cpu")
         self.pallas_compact = bool(int(
             _os.environ.get("FFV1_PALLAS_COMPACT", "0")))
+        if self.pallas_compact and rp.version > 3:
+            # the compact form has no per-slot emit bits, so the v4
+            # PCM budget check (rowbytes from bit 20) cannot run on it
+            from ..log import WARNING, log
+            log(WARNING, "tpu-enc", "FFV1_PALLAS_COMPACT disabled for "
+                "version > 3 (v4 PCM budget check needs the raw slot "
+                "form)")
+            self.pallas_compact = False
         # per-chunk VMEM windows scale with lane count; keep them
         # bounded and 8-divisible (Pallas block-shape requirement)
         self.pallas_chunk = max(48, (216 // batch) // 8 * 8)
@@ -802,17 +810,21 @@ class TPUFFV1Encoder:
                         streams, states0, jnp.asarray(lows),
                         jnp.asarray(ranges), jnp.asarray(prefixes),
                         jnp.asarray(plens))
-                except Exception:
+                except Exception as e:
                     # Mosaic/compile errors surface synchronously at
                     # the first dispatch; the XLA scan path is
                     # byte-identical, so fall back once rather than
                     # fail the whole run (kernel support varies across
-                    # TPU generations/toolchains)
+                    # TPU generations/toolchains).  NOTE: transient
+                    # runtime errors land here too and pay only a perf
+                    # cost (the XLA path is exact) — the original
+                    # error is logged for diagnosis
                     if not self.use_pallas:
                         raise
                     from ..log import WARNING, log
-                    log(WARNING, "tpu-enc", "Pallas kernel failed to "
-                        "compile; falling back to the XLA scan path")
+                    log(WARNING, "tpu-enc", "Pallas kernel failed "
+                        f"({type(e).__name__}: {e}); falling back to "
+                        "the XLA scan path")
                     self.use_pallas = False
                     self._frame_fn = jax.jit(
                         self._frame_pipeline,

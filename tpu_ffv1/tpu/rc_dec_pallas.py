@@ -422,8 +422,8 @@ def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2, qt3, qt4,
     # The HBM-staged states IO is kept (pure VMEM win); wide is opt-in.
     wide = _os.environ.get("FFV1_PALLAS_DEC_WIDE", "0") \
         not in ("0", "false")
-    gather = _os.environ.get("FFV1_PALLAS_GATHER", "1") \
-        not in ("0", "false")
+    gather = (_os.environ.get("FFV1_PALLAS_GATHER", "1")
+              not in ("0", "false")) and L <= 128
     SCH = next(c for c in (8, 4, 2, 1) if L % c == 0)
     kernel = functools.partial(_kernel, bits, L, w, h, Wpad, capw, pbase,
                                five, wide, gather)
@@ -501,8 +501,8 @@ def rc_decode_planes_pallas(bufs, states, one_tab, zero_tab, qt,
     # (2, 128) row form for the lane-gather lookups (see tree());
     # (256, 1) sublane column form for the tree fallback
     import os as _os
-    gather = _os.environ.get("FFV1_PALLAS_GATHER", "1") \
-        not in ("0", "false")
+    gather = (_os.environ.get("FFV1_PALLAS_GATHER", "1")
+              not in ("0", "false")) and L <= 128
     shp = (2, 128) if gather else (256, 1)
     t1 = one_tab.astype(jnp.int32).reshape(shp)
     del zero_tab   # derived via the single-table identity

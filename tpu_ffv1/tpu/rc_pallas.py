@@ -415,8 +415,11 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
     # signature for API compatibility with the XLA kernels
     del zero_tab
     import os as _os
-    gather = _os.environ.get("FFV1_PALLAS_GATHER", "1") \
-        not in ("0", "false")
+    # the lane-axis dynamic_gather lookups address a (2, 128) row table
+    # and are only wired for L <= 128 lanes; larger lane counts use the
+    # (still byte-identical) binary-select tree
+    gather = (_os.environ.get("FFV1_PALLAS_GATHER", "1")
+              not in ("0", "false")) and L <= 128
     # (2, 128) row form: entries 0..127 / 128..255 in the LANE axis for
     # the dynamic_gather lookup (see _kernel.lookup_one); the tree
     # fallback wants the (256, 1) sublane column form
@@ -428,7 +431,6 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
     # loops avoid the int8 quarter-tile repack Mosaic inserts around
     # sub-vreg slices.  4x the VMEM (fits comfortably to ~160 lanes
     # under the 100 MB budget); gated for A/B measurement.
-    import os as _os
     wide = _os.environ.get("FFV1_PALLAS_WIDE", "1") not in ("0", "false")
     SCH = next(c for c in (8, 4, 2, 1) if L % c == 0)
     kernel = functools.partial(_kernel, bits, L, CC, chunk, S, order,
