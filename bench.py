@@ -366,6 +366,38 @@ def bench_tpu_decode_sink(frames, budget_s=400.0):
         frames_per_step=batch)
 
 
+def bench_tiny_latency(budget_s=120.0):
+    """BASELINE config 1 shape (64x64 8-bit 420 single-slice): per-
+    frame encode LATENCY on the device path (small-frame dispatch
+    cost, not throughput)."""
+    from tpu_ffv1.codec.params import EncoderParams
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+
+    rng = np.random.RandomState(9)
+    frames = [[rng.randint(0, 255, (64, 64)).astype(np.uint8),
+               rng.randint(0, 255, (32, 32)).astype(np.uint8),
+               rng.randint(0, 255, (32, 32)).astype(np.uint8)]
+              for _ in range(4)]
+    enc = TPUFFV1Encoder(EncoderParams(
+        width=64, height=64, pix_fmt="yuv420p", level=3, coder=2))
+    t0 = time.time()
+    enc.encode_frame(frames[0])
+    log(f"tiny first frame (compile): {time.time() - t0:.1f}s")
+    lat = []
+    t_end = time.time() + budget_s
+    for k in range(1, 13):
+        t0 = time.time()
+        enc.encode_frame(frames[k % 4])
+        lat.append((time.time() - t0) * 1000)
+        if time.time() > t_end:
+            break
+    lat.sort()
+    med = lat[len(lat) // 2]
+    log(f"tiny 64x64 single-slice: median {med:.1f} ms/frame")
+    return med, dict(median_ms=round(med, 2), min_ms=round(lat[0], 2),
+                     n=len(lat))
+
+
 def bench_16bit_archival(budget_s=400.0):
     """BASELINE config 3 shape (16-bit archival): yuv444p16 device
     encode via the extended schedule (XLA ext scan; the Pallas kernel
@@ -724,6 +756,13 @@ def main():
             log(f"tpu 16-bit archival: {d16_mpix:.2f} Mpixel/s")
         except Exception as e:
             log(f"16-bit bench failed ({e})")
+    tiny_ms = tiny_stats = None
+    if have_dev and os.environ.get("FFV1_BENCH_SKIP_TINY",
+                                   "0") not in ("1", "true"):
+        try:
+            tiny_ms, tiny_stats = bench_tiny_latency()
+        except Exception as e:
+            log(f"tiny-latency bench failed ({e})")
     # headline = sustained encode with a device-resident source (frames
     # in HBM, compressed payload downloaded and assembled every step) —
     # the fair analog of the reference's RAM-resident measurement and
@@ -778,6 +817,9 @@ def main():
     if d16_mpix is not None:
         out["archival16_mpix_s"] = round(d16_mpix, 3)
         out["archival16_steps"] = d16_stats
+    if tiny_ms is not None:
+        out["tiny64_latency_ms"] = round(tiny_ms, 2)
+        out["tiny64_stats"] = tiny_stats
     print(json.dumps(out))
 
 
