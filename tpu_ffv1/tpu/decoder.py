@@ -324,6 +324,26 @@ class TPUFFV1Decoder:
             st = np.full((total_cc, 32), 128, np.uint8)
         return st
 
+    def _reset_lane_states(self, keyframes, resets, qidx0, total_cc):
+        """Apply per-stream keyframe resets and v4 reset_contexts to the
+        GOP-persistent device state table; runs on the single-worker
+        executor in submit order so the context-inheritance chain stays
+        intact (ffv1dec.c:376-403 / :419-420).  Shared by the planar
+        and RGB submit paths."""
+        if self.states is None or self.states.shape[1] != total_cc:
+            self.states = jnp.asarray(np.tile(
+                self._fresh_states(qidx0)[None], (self.L, 1, 1)))
+        if any(keyframes) or resets.any():
+            st = np.array(self.states)
+            fresh = self._fresh_states(qidx0)
+            for bi, kf in enumerate(keyframes):
+                if kf:
+                    st[bi * self.n_slices:
+                       (bi + 1) * self.n_slices] = fresh
+            st[resets] = fresh
+            self.states = jnp.asarray(st)
+        return self.states
+
     # ------------------------------------------------------ fused path
 
     def submit_frames(self, pkts):
@@ -399,19 +419,8 @@ class TPUFFV1Decoder:
             # runs on the single-worker executor in submit order, so
             # reading/advancing self.states here keeps the GOP context
             # inheritance chain intact (keyframe resets are per stream)
-            if self.states is None or self.states.shape[1] != total_cc:
-                self.states = jnp.asarray(np.tile(
-                    self._fresh_states(qidx0)[None], (self.L, 1, 1)))
-            if any(keyframes) or resets.any():
-                st = np.array(self.states)
-                fresh = self._fresh_states(qidx0)
-                for bi, kf in enumerate(keyframes):
-                    if kf:
-                        st[bi * self.n_slices:
-                           (bi + 1) * self.n_slices] = fresh
-                st[resets] = fresh
-                self.states = jnp.asarray(st)
-            states0 = self.states
+            states0 = self._reset_lane_states(keyframes, resets,
+                                               qidx0, total_cc)
             db = jnp.asarray(bufs)
             if self.mesh is not None:
                 from .sharding import decode_lanes_sharded
@@ -508,19 +517,8 @@ class TPUFFV1Decoder:
                 by[lane], ry[lane] = eby, ery
 
         def work():
-            if self.states is None or self.states.shape[1] != total_cc:
-                self.states = jnp.asarray(np.tile(
-                    self._fresh_states(qidx0)[None], (self.L, 1, 1)))
-            if any(keyframes) or resets.any():
-                st = np.array(self.states)
-                fresh = self._fresh_states(qidx0)
-                for bi, kf in enumerate(keyframes):
-                    if kf:
-                        st[bi * self.n_slices:
-                           (bi + 1) * self.n_slices] = fresh
-                st[resets] = fresh
-                self.states = jnp.asarray(st)
-            states0 = self.states
+            states0 = self._reset_lane_states(keyframes, resets,
+                                               qidx0, total_cc)
             planes_full, states_out, lrp = _rgb_decode_assemble(
                 jnp.asarray(bufs), states0, self.one_tab, self.zero_tab,
                 qt, jnp.asarray(lows), jnp.asarray(ranges),
