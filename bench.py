@@ -400,8 +400,8 @@ def bench_tiny_latency(budget_s=120.0):
 
 def bench_16bit_archival(budget_s=400.0):
     """BASELINE config 3 shape (16-bit archival): yuv444p16 device
-    encode via the extended schedule (XLA ext scan; the Pallas kernel
-    covers coded widths <= 10)."""
+    encode via the extended schedule (Pallas ext kernel on real
+    accelerators since round 3; XLA ext scan as the fallback)."""
     import jax
     from tpu_ffv1.codec.params import EncoderParams
     from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
