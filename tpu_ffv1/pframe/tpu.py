@@ -321,7 +321,8 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
                          rng, _rowbytes) = self._frame_fn(
                             cur, states0, jnp.asarray(lows),
                             jnp.asarray(ranges), jnp.asarray(prefixes),
-                            jnp.asarray(plens))
+                            jnp.asarray(plens),
+                            use_pallas=self.use_pallas)
                     except Exception as e:
                         # same one-shot Pallas->XLA fallback as the
                         # parent's _submit_fast (kernel support varies
@@ -353,7 +354,8 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
                          rng, new_prev) = self._p_fn(
                             cur, self.ref_dev, self.prev_mvs, states0,
                             jnp.asarray(lows), jnp.asarray(ranges),
-                            jnp.asarray(prefixes), jnp.asarray(plens))
+                            jnp.asarray(prefixes), jnp.asarray(plens),
+                            use_pallas=self.use_pallas)
                     except Exception as e:
                         if not self.use_pallas:
                             raise

@@ -805,11 +805,14 @@ class TPUFFV1Encoder:
                 else self.states
             with phase_timer("tpu-enc", "dispatch"):
                 try:
+                    # the static flag is passed EXPLICITLY so post-
+                    # fallback calls select the XLA trace instead of
+                    # the cached default-True (Pallas) one
                     (out, counts, states_out, overflow, packed, low,
                      rng, rowbytes) = self._frame_fn(
                         streams, states0, jnp.asarray(lows),
                         jnp.asarray(ranges), jnp.asarray(prefixes),
-                        jnp.asarray(plens))
+                        jnp.asarray(plens), use_pallas=self.use_pallas)
                 except Exception as e:
                     # Mosaic/compile errors surface synchronously at
                     # the first dispatch; the XLA scan path is
@@ -829,11 +832,14 @@ class TPUFFV1Encoder:
                     self._frame_fn = jax.jit(
                         self._frame_pipeline,
                         static_argnames=("use_pallas",))
+                    # pass the static flag EXPLICITLY: the branch must
+                    # not depend on when the re-trace reads
+                    # self.use_pallas
                     (out, counts, states_out, overflow, packed, low,
                      rng, rowbytes) = self._frame_fn(
                         streams, states0, jnp.asarray(lows),
                         jnp.asarray(ranges), jnp.asarray(prefixes),
-                        jnp.asarray(plens))
+                        jnp.asarray(plens), use_pallas=False)
             self.states = states_out
             # issue the result transfer NOW, before the next
             # frame's scan is enqueued: device ops run in order, so
