@@ -146,17 +146,20 @@ def test_pallas_decode_five_input_interpret():
                 assert np.array_equal(np.asarray(a), b), fi
 
 
-def test_pallas_ext_kernel_matches_xla_interpret():
+@pytest.mark.parametrize("bits", [11, 16, 17])
+def test_pallas_ext_kernel_matches_xla_interpret(bits):
     """Extended schedule (coded widths 11..17): the Pallas ext branch
     (running rows 10/31) must match rc_encode_scan_lanes_ext exactly —
-    emitted provisional bytes, final coder state and adaptive states."""
+    emitted provisional bytes, final coder state and adaptive states.
+    11 = the smallest ext width (one row-10 repeat), 17 = RGB48's
+    bits+1 (the widest the format produces)."""
     from tpu_ffv1.tpu.rc_scan_lanes import rc_encode_scan_lanes_ext
 
     CC = T.CONTEXT_COUNTS[0]
     one, zero = default_state_tables()
     one_t, zero_t = jnp.asarray(one), jnp.asarray(zero)
     rng0 = np.random.RandomState(11)
-    L, N, bits = 3, 256, 16
+    L, N = 3, 256
     half = 1 << (bits - 1)
     ctx = jnp.asarray(rng0.randint(0, CC, (L, N)), jnp.int32)
     # full folded range incl. the extremes that exercise rows 10/31
