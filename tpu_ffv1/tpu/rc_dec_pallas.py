@@ -51,6 +51,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+# pl.ANY replaced pltpu.ANY in newer jax; support both
+_ANY = getattr(pl, "ANY", None) or pltpu.ANY
 
 
 def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide, gather,
@@ -431,7 +433,7 @@ def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2, qt3, qt4,
         num_scalar_prefetch=0,
         grid=(h,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7 +
-                 [pl.BlockSpec(memory_space=pltpu.ANY)] +   # states (HBM)
+                 [pl.BlockSpec(memory_space=_ANY)] +   # states (HBM)
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[
             pl.BlockSpec((1, Wpad, L), lambda y: (y, 0, 0),
@@ -439,7 +441,7 @@ def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2, qt3, qt4,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # low
             pl.BlockSpec(memory_space=pltpu.VMEM),   # range
             pl.BlockSpec(memory_space=pltpu.VMEM),   # pos
-            pl.BlockSpec(memory_space=pltpu.ANY),    # states (HBM)
+            pl.BlockSpec(memory_space=_ANY),    # states (HBM)
         ],
         scratch_shapes=[
             pltpu.VMEM((L, CC, 128),

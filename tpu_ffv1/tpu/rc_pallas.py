@@ -49,6 +49,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+# pl.ANY replaced pltpu.ANY in newer jax; support both
+_ANY = getattr(pl, "ANY", None) or pltpu.ANY
 
 from .rc_scan_fast import chain_order_nosign
 
@@ -446,7 +448,7 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
             pl.BlockSpec((chunk, L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),      # act
             pl.BlockSpec(memory_space=pltpu.VMEM),      # t1
-            pl.BlockSpec(memory_space=pltpu.ANY),       # states0 (HBM)
+            pl.BlockSpec(memory_space=_ANY),       # states0 (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # low0
             pl.BlockSpec(memory_space=pltpu.VMEM),      # range0
         ],
@@ -455,7 +457,7 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
                          memory_space=pltpu.VMEM),      # prov (packed)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # low out
             pl.BlockSpec(memory_space=pltpu.VMEM),      # range out
-            pl.BlockSpec(memory_space=pltpu.ANY),       # states out (HBM)
+            pl.BlockSpec(memory_space=_ANY),       # states out (HBM)
         ],
         scratch_shapes=[
             pltpu.VMEM((L, CC, 128),
