@@ -140,3 +140,33 @@ def test_pframe_format_golden():
             fh.write(got + "\n")
     want = open(golden_path).read().strip()
     assert got == want, f"P-frame format drifted: {got} != {want}"
+
+
+def test_p_extradata_version_marker():
+    """P streams carry a format-version tail (P_MAGIC + version): plain
+    FFV1 extradata (or a pre-marker P stream) must fail LOUDLY instead
+    of decoding with the wrong wire format, and an unknown future
+    version must be rejected (ADVICE r3: undetectable drift)."""
+    import pytest
+    from tpu_ffv1.pframe.codec import (P_FORMAT_VERSION, P_MAGIC,
+                                       p_extradata, split_p_extradata)
+
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv420p", level=3,
+                           coder=2, slices=4, gop_size=4)
+    enc = FFV1PEncoder(params, experimental=True)
+    # marked extradata roundtrips to the base FFV1 header
+    base = split_p_extradata(enc.extradata)
+    assert enc.extradata == base + P_MAGIC + bytes([P_FORMAT_VERSION])
+    FFV1PDecoder(W, H, enc.extradata)      # accepts the marked form
+    with pytest.raises(ValueError, match="marker"):
+        FFV1PDecoder(W, H, base)           # unmarked: loud failure
+    bumped = base + P_MAGIC + bytes([P_FORMAT_VERSION + 1])
+    with pytest.raises(ValueError, match="version"):
+        FFV1PDecoder(W, H, bumped)
+    # the device P encoder/decoder speak the same marker
+    from tpu_ffv1.pframe.tpu import TPUFFV1PDecoder, TPUFFV1PEncoder
+    dev = TPUFFV1PEncoder(params, experimental=True)
+    assert dev.extradata == p_extradata(base)
+    TPUFFV1PDecoder(W, H, dev.extradata)
+    with pytest.raises(ValueError, match="marker"):
+        TPUFFV1PDecoder(W, H, base)

@@ -183,3 +183,37 @@ def test_mesh_deep_bit_invariance():
         planes, _ = dec.decode_frame(pkt)
         for a, b in zip(planes, frames[t]):
             assert np.array_equal(np.asarray(a), b), t
+
+
+def test_mesh_decode_honors_pallas_gate(monkeypatch):
+    """The mesh decode branch must pass the decoder's own kernel gate
+    into decode_lanes_sharded (ADVICE r3 high): on deep-bit streams
+    use_pallas is False (decoder.py gate: coded width <= 10), and
+    sharding.py's platform default must not override it."""
+    import tpu_ffv1.tpu.sharding as sharding
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+    from tpu_ffv1.tpu.sharding import make_mesh
+
+    W, H = 48, 32
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv444p16le",
+                           level=3, coder=2, slices=4)
+    rng = np.random.RandomState(2)
+    frame = [rng.randint(0, 65536, (H, W)).astype(np.uint16)
+             for _ in range(3)]
+    host = FFV1Encoder(params, engine="spec")
+    pkt, _ = host.encode_frame(frame)
+
+    seen = {}
+    real = sharding.decode_lanes_sharded
+
+    def spy(*a, **kw):
+        seen["use_pallas"] = kw.get("use_pallas", "MISSING")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sharding, "decode_lanes_sharded", spy)
+    dec = TPUFFV1Decoder(W, H, host.extradata, mesh=make_mesh(2))
+    assert dec.use_pallas is False      # 16-bit: outside the kernel gate
+    planes, _ = dec.decode_frame(pkt)
+    assert seen["use_pallas"] is False  # gate propagated into the mesh
+    for a, b in zip(planes, frame):
+        assert np.array_equal(np.asarray(a), b)

@@ -179,29 +179,29 @@ def _is_container(path):
     return _is_avi(path) or _is_mkv(path) or _is_nut(path)
 
 
-def _mux(path, w, h, extradata, pkts, keys):
+def _mux(path, w, h, extradata, pkts, keys, fps=(25, 1)):
     """Write packets to the container selected by extension
     (av_interleaved_write_frame analog over the io writers)."""
     if _is_mkv(path):
         from ..io import mkv as mkv_io
         mkv_io.write_mkv(path, mkv_io.MkvStream(
             width=w, height=h, extradata=extradata,
-            packets=pkts, keyflags=keys))
+            packets=pkts, keyflags=keys, fps=fps))
     elif _is_nut(path):
         from ..io import nut as nut_io
         nut_io.write_nut(path, nut_io.NutStream(
             width=w, height=h, extradata=extradata,
-            packets=pkts, keyflags=keys))
+            packets=pkts, keyflags=keys, fps=fps))
     elif _is_avi(path):
         from ..io import avi as avi_io
         avi_io.write_avi(path, avi_io.AviStream(
             width=w, height=h, extradata=extradata,
-            packets=pkts, keyflags=keys))
+            packets=pkts, keyflags=keys, fps=fps))
     else:
         sys.exit("error: only .avi/.mkv/.nut output is supported")
 
 
-def _encode_frames_to(args, frames, w, h, pix_fmt):
+def _encode_frames_to(args, frames, w, h, pix_fmt, fps=(25, 1)):
     """Shared encode+mux tail (ffmpeg.c do_video_out + muxer): frames
     are already in ``pix_fmt`` at (w, h).  Returns the report line."""
     from ..codec.params import EncoderParams
@@ -236,7 +236,7 @@ def _encode_frames_to(args, frames, w, h, pix_fmt):
     if args.rc_pass == 1:
         with open(args.passlogfile + "-0.log", "w") as lf:
             lf.write(enc.get_stats())
-    _mux(args.output, w, h, enc.extradata or b"", pkts, keys)
+    _mux(args.output, w, h, enc.extradata or b"", pkts, keys, fps=fps)
     total = sum(len(p) for p in pkts)
     return (f"encoded {len(pkts)} frames {w}x{h} -> {total} bytes "
             f"(v{enc.rp.version}, coder {enc.rp.ac})")
@@ -340,7 +340,7 @@ def run(argv=None):
         if _is_y4m(args.input):
             # self-describing input: geometry + pix_fmt from the header
             from ..io.y4m import read_y4m
-            frames, in_fmt, w, h, _fps = read_y4m(args.input)
+            frames, in_fmt, w, h, fps = read_y4m(args.input)
             if args.in_pix_fmt and args.in_pix_fmt != in_fmt:
                 sys.exit(f"error: -in_pix_fmt {args.in_pix_fmt} != y4m "
                          f"stream format {in_fmt}")
@@ -350,6 +350,7 @@ def run(argv=None):
             w, h = (int(v) for v in args.size.split("x"))
             in_fmt = args.in_pix_fmt or args.pix_fmt or "yuv420p"
             frames = raw_io.read_frames(args.input, in_fmt, w, h)
+            fps = (25, 1)     # rawvideo carries no rate metadata
         if args.seek:
             frames = frames[args.seek:]
         if args.frames is not None:
@@ -367,11 +368,12 @@ def run(argv=None):
                       for f in frames]
         npix += len(frames) * w * h
         if _is_container(args.output):
-            what = _encode_frames_to(args, frames, w, h, enc_fmt)
+            what = _encode_frames_to(args, frames, w, h, enc_fmt,
+                                     fps=fps)
         elif _is_y4m(args.output):
             # conversion-only chain (no codec): y4m/raw in -> y4m out
             from ..io.y4m import write_y4m
-            write_y4m(args.output, frames, enc_fmt, w, h)
+            write_y4m(args.output, frames, enc_fmt, w, h, fps=fps)
             what = f"wrote {len(frames)} frames {w}x{h} ({enc_fmt})"
         else:
             raw_io.write_frames(args.output, frames)

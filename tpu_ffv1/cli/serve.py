@@ -69,10 +69,13 @@ class FFV1ServerHandler(BaseHTTPRequestHandler):
         for f in self.feeds.values():
             try:
                 i = f.info()
+                name = html.escape(f.name, quote=True)
+                ext = html.escape(f.ext, quote=True)
                 rows.append(
-                    f"<tr><td><a href='/{f.name}.y4m'>{f.name}.y4m</a> "
-                    f"<a href='/{f.name}{f.ext}'>[{f.ext[1:]}]</a></td>"
-                    f"<td>{i['codec']}</td><td>{i['w']}x{i['h']}</td>"
+                    f"<tr><td><a href='/{name}.y4m'>{name}.y4m</a> "
+                    f"<a href='/{name}{ext}'>[{ext[1:]}]</a></td>"
+                    f"<td>{html.escape(str(i['codec']))}</td>"
+                    f"<td>{i['w']}x{i['h']}</td>"
                     f"<td>{i['fps'][0]}/{i['fps'][1]}</td>"
                     f"<td>{i['n']}</td></tr>")
             except Exception as e:   # still list broken feeds
@@ -148,7 +151,9 @@ def serve(argv=None):
         prog="tpu_ffv1.serve", description="HTTP FFV1 streaming server")
     p.add_argument("inputs", nargs="+")
     p.add_argument("-port", type=int, default=8090)
-    p.add_argument("-bind", default="0.0.0.0")
+    # loopback by default: publishing the listed files on every
+    # interface should be an explicit opt-in (-bind 0.0.0.0)
+    p.add_argument("-bind", default="127.0.0.1")
     p.add_argument("-v", action="store_true", help="log requests")
     args = p.parse_args(argv)
     for f in args.inputs:

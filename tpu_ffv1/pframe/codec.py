@@ -61,6 +61,36 @@ from .motion import block_motion_search_cost, pad_to_block
 BLOCK = 16
 LAMBDA = 16         # rate weight: SAD units per |mv delta| component
 
+# The P stream is an experimental extension (no reference counterpart),
+# so its format carries its OWN version marker: the base FFV1 extradata
+# is followed by a magic + version tail.  Streams written before the
+# marker existed (or with a different P wire format — e.g. the v2-era
+# bare-put_rac inter flag) fail loudly instead of decoding garbage.
+P_MAGIC = b"FFV1P"
+P_FORMAT_VERSION = 3      # matches goldens/pframe_v3.sha256
+
+
+def p_extradata(base_extradata: bytes) -> bytes:
+    """Extradata for an FFV1-P stream: base FFV1 header + P marker."""
+    return base_extradata + P_MAGIC + bytes([P_FORMAT_VERSION])
+
+
+def split_p_extradata(extradata: bytes) -> bytes:
+    """Validate + strip the P-format marker; returns the base FFV1
+    extradata.  Raises on missing marker (pre-marker or non-P stream)
+    or unsupported P version."""
+    if len(extradata) < len(P_MAGIC) + 1 or \
+            extradata[-len(P_MAGIC) - 1:-1] != P_MAGIC:
+        raise ValueError(
+            "extradata carries no FFV1-P format marker (plain-FFV1 or "
+            "pre-v3 P stream); P wire formats before the marker are "
+            "not decodable by this version")
+    ver = extradata[-1]
+    if ver != P_FORMAT_VERSION:
+        raise ValueError(f"unsupported FFV1-P format version {ver} "
+                         f"(this build speaks v{P_FORMAT_VERSION})")
+    return extradata[:-len(P_MAGIC) - 1]
+
 
 class _Bits9View:
     """Attribute view of a ResolvedParams/decoder forcing LSB-packed
@@ -154,7 +184,7 @@ class FFV1PEncoder:
         if rp.version < 3:
             raise NotImplementedError("FFV1-P requires version >= 3")
         self.rp = rp
-        self.extradata = self.base.extradata
+        self.extradata = p_extradata(self.base.extradata)
         self.picture_number = 0
         self.ref_planes = None
         self.pstates = [_PSliceState() for _ in self.base.slices]
@@ -339,7 +369,8 @@ class FFV1PDecoder:
 
     def __init__(self, width: int, height: int, extradata: bytes):
         from ..core.rac import custom_state_tables
-        self.base = FFV1Decoder(width, height, extradata)
+        self.base = FFV1Decoder(width, height,
+                                split_p_extradata(extradata))
         self.width = width
         self.height = height
         self.ref_planes = None

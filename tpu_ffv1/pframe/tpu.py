@@ -141,6 +141,11 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
         self.SW = g0.width + self.pad_w
         self.bh, self.bw = self.SH // BLOCK, self.SW // BLOCK
 
+        # P streams carry their own format-version marker in the
+        # extradata tail (pframe/codec.py P_MAGIC)
+        from .codec import p_extradata
+        self.extradata = p_extradata(self.extradata)
+
         # MV context rows appended after the plane state groups
         self.mv_base = self.total_cc
         self.total_cc = self.total_cc + 3
@@ -430,7 +435,10 @@ class TPUFFV1PDecoder:
     def __init__(self, width: int, height: int, extradata: bytes,
                  batch: int = 1):
         from ..tpu.decoder import TPUFFV1Decoder
-        self.base = TPUFFV1Decoder(width, height, extradata, batch=batch)
+        from .codec import split_p_extradata
+        self.base = TPUFFV1Decoder(width, height,
+                                   split_p_extradata(extradata),
+                                   batch=batch)
         b = self.base
         if not b.uniform:
             raise NotImplementedError(

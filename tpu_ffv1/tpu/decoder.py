@@ -424,12 +424,31 @@ class TPUFFV1Decoder:
             db = jnp.asarray(bufs)
             if self.mesh is not None:
                 from .sharding import decode_lanes_sharded
-                planes_dev, states_out, low, rng, pos = \
-                    decode_lanes_sharded(
-                        self.mesh, db, states0, self.one_tab,
-                        self.zero_tab, qt, jnp.asarray(lows),
-                        jnp.asarray(ranges), jnp.asarray(poss), specs,
-                        self.bits, five)
+                # honor the decoder's own kernel gate (coded width <= 10,
+                # decoder.py:168-169): sharding.py would otherwise default
+                # to the Pallas kernel on any accelerator mesh and run it
+                # outside its supported schedule on deep-bit streams
+                try:
+                    planes_dev, states_out, low, rng, pos = \
+                        decode_lanes_sharded(
+                            self.mesh, db, states0, self.one_tab,
+                            self.zero_tab, qt, jnp.asarray(lows),
+                            jnp.asarray(ranges), jnp.asarray(poss), specs,
+                            self.bits, five, use_pallas=self.use_pallas)
+                except Exception as e:
+                    if not self.use_pallas:
+                        raise
+                    from ..log import WARNING, log
+                    log(WARNING, "tpu-dec", "sharded Pallas decode "
+                        f"failed ({type(e).__name__}: {e}); falling "
+                        "back to the sharded XLA scan")
+                    self.use_pallas = False
+                    planes_dev, states_out, low, rng, pos = \
+                        decode_lanes_sharded(
+                            self.mesh, db, states0, self.one_tab,
+                            self.zero_tab, qt, jnp.asarray(lows),
+                            jnp.asarray(ranges), jnp.asarray(poss), specs,
+                            self.bits, five, use_pallas=False)
             elif self.use_pallas:
                 try:
                     planes_dev, states_out, low, rng, pos = \
