@@ -71,21 +71,33 @@ def main():
                      "flip FFV1_PALLAS_EXT default to 0"))
         return 1 if r3["rc"] else 0
 
-    # 2a. encode device-source batch sweep (VERDICT lever (a): scan
-    # cost grows sub-linearly with lanes -> larger batch = more Mpix/s)
+    # 2. the full artifact FIRST: tunnel windows can be short, and the
+    # full bench is what persists BENCH_HW_LAST.json — the one artifact
+    # that survives a dead tunnel at driver-bench time (VERDICT r3 #1).
+    # Sweeps run after; a cut-off session still leaves the headline.
+    r = run([py, "bench.py"], timeout=5400,
+            env={"FFV1_BENCH_PROBE_WINDOW": "0"})
+    log_result("bench_full", r)
+
+    # 3a. encode device-source batch sweep (VERDICT lever (a): scan
+    # cost grows sub-linearly with lanes -> larger batch = more Mpix/s),
+    # each batch also with the host-compact finalize (kills the ~60 ms
+    # device sort; pays ~1.6x payload download — measure, don't guess)
     if not quick:
         for batch in ("5", "8", "12", "16"):
-            r = run([py, "-c", (
-                "import bench, os;"
-                "f = bench.synth_1080p();"
-                "m, s = bench.bench_tpu_device_source(f, budget_s=150);"
-                "import json; print(json.dumps(dict(mpix=m, **s)))")],
-                timeout=2400,
-                env={"FFV1_BENCH_BATCH": batch,
-                     "FFV1_BENCH_STEPS": "8"})
-            log_result(f"encode_devsrc_b{batch}", r)
+            for hc in ("0", "1"):
+                r = run([py, "-c", (
+                    "import bench, os;"
+                    "f = bench.synth_1080p();"
+                    "m, s = bench.bench_tpu_device_source(f, budget_s=150);"
+                    "import json; print(json.dumps(dict(mpix=m, **s)))")],
+                    timeout=2400,
+                    env={"FFV1_BENCH_BATCH": batch,
+                         "FFV1_BENCH_STEPS": "8",
+                         "FFV1_TPU_HOSTCOMPACT": hc})
+                log_result(f"encode_devsrc_b{batch}_hc{hc}", r)
 
-    # 2b. decode-sink batch sweep (the decode >= host C lever)
+    # 3b. decode-sink batch sweep (the decode >= host C lever)
     if not quick:
         for gather in ("1", "0"):
             for batch in ("5", "8") if gather == "0" else ("4", "5",
@@ -100,9 +112,6 @@ def main():
                          "FFV1_PALLAS_GATHER": gather})
                 log_result(f"decode_sink_b{batch}_g{gather}", r)
 
-    # 3. the full artifact
-    r = run([py, "bench.py"], timeout=5400)
-    log_result("bench_full", r)
     return 0
 
 

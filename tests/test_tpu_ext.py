@@ -208,3 +208,36 @@ def test_tpu_ext_device_transcode_chain_16bit():
         enc.submit_device_frames(planes)
         gp, gk = enc.collect_frames()[0]
         assert (gp, gk) == wpk[t], f"frame {t}"
+
+
+def test_ya8_device_paths():
+    """ya8 rides the device tier (round-3 gap): the TPU encoder
+    de-interleaves the (H, W, 2) storage into the luma+alpha plane
+    pair (alpha on state plane 1, ffv1enc.c:1196) and must be
+    byte-identical to the host encoder; the TPU decoder reconstructs
+    the interleaved array losslessly, for both coders."""
+    import numpy as np
+    from tpu_ffv1 import EncoderParams, FFV1Encoder
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+
+    W, H = 48, 32
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 255, (H, W, 2)).astype(np.uint8)
+              for _ in range(3)]
+    for coder in (2, 0):
+        params = EncoderParams(width=W, height=H, pix_fmt="ya8",
+                               level=3, coder=coder, slices=4,
+                               gop_size=2, slicecrc=1)
+        host = FFV1Encoder(params, engine="spec")
+        ref = [host.encode_frame(f) for f in frames]
+        dev = TPUFFV1Encoder(params)
+        for fi, f in enumerate(frames):
+            pkt, kf = dev.encode_frame(f)
+            assert (pkt, kf) == ref[fi], (coder, fi)
+        dec = TPUFFV1Decoder(W, H, host.extradata)
+        assert dec.ya
+        for fi, (pkt, _k) in enumerate(ref):
+            out, _ = dec.decode_frame(pkt)
+            arr = np.asarray(out[0] if isinstance(out, list) else out)
+            assert np.array_equal(arr, frames[fi]), (coder, fi)

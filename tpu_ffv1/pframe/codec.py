@@ -56,7 +56,7 @@ from ..core import tables as T
 from ..core.crc import crc32_ieee
 from ..core.intmath import ceil_rshift
 from ..core.rac import RangeDecoder, RangeEncoder, default_state_tables
-from .motion import block_motion_search_cost, pad_to_block
+from .motion import pad_to_block
 
 BLOCK = 16
 LAMBDA = 16         # rate weight: SAD units per |mv delta| component
@@ -161,7 +161,7 @@ class FFV1PEncoder:
     """Inter-frame FFV1 with OBMC block motion (experimental)."""
 
     def __init__(self, params: EncoderParams, radius: int = 7,
-                 experimental: bool = False):
+                 experimental: bool = False, me: str = "full"):
         if not experimental:
             raise ValueError(
                 "FFV1-P motion coding is experimental; pass "
@@ -169,8 +169,12 @@ class FFV1PEncoder:
                 "gate, ffv1enc.c:703-706)")
         if params.gop_size < 2:
             raise ValueError("FFV1-P needs gop_size >= 2")
+        from .motion import SEARCH_FNS
+        if me not in SEARCH_FNS:
+            raise ValueError(f"me must be one of {sorted(SEARCH_FNS)}")
         self.params = params
         self.radius = radius
+        self.me = me
         self.base = FFV1Encoder(params)
         rp = self.base.rp
         if rp.bits_per_raw_sample > 15 or rp.colorspace != 0 or \
@@ -192,7 +196,8 @@ class FFV1PEncoder:
     # ---------------------------------------------------------------
 
     def _search_slice(self, cur_pad, ref_pad, prev_mvs):
-        mvs, sad, cost = block_motion_search_cost(
+        from .motion import SEARCH_FNS
+        mvs, sad, cost = SEARCH_FNS[self.me](
             cur_pad, ref_pad, prev_mvs, BLOCK, self.radius, LAMBDA)
         mvs, sad, cost = (np.asarray(mvs), np.asarray(sad),
                           np.asarray(cost))

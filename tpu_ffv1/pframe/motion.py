@@ -112,6 +112,97 @@ def block_motion_search_cost(cur, ref, prev_mvs, block: int = 16,
     return mvs, take(sads), take(costs)
 
 
+@functools.partial(jax.jit, static_argnames=("block", "radius", "lam")) \
+    if _HAVE_JAX else (lambda f: f)
+def block_motion_search_epzs(cur, ref, prev_mvs, block: int = 16,
+                             radius: int = 7, lam: int = 16):
+    """Predictor-seeded two-stage search — EPZS's core idea
+    (motion_est.c:977 ff_epzs_motion_search: try predictors first,
+    refine locally) recast batched/TPU-style with NO serial chain:
+
+      stage 1: a coarse uniform grid over the window (spacing <= 4)
+               PLUS per-block temporal predictors (the same block's and
+               its 4 field neighbors' previous-frame vectors — the
+               data-parallel stand-in for EPZS's coded left/top
+               predictors, which would serialize blocks)
+      stage 2: dense +-2 refinement around each block's stage-1 winner
+
+    ~55 SAD evaluations per block vs 225 for the full search at
+    radius 7; identical (mvs, sad, cost) contract and tie-breaking to
+    block_motion_search_cost (argmin picks the first/lowest candidate
+    index), so host and device encoders stay byte-identical in this
+    mode too.  Per-block candidate vectors make each SAD a gather
+    (motion_compensate's addressing) instead of a uniform shift.
+
+    Like every pruned search (EPZS included), this descends the SAD
+    surface and assumes the spatial autocorrelation of natural video;
+    periodic content whose SAD aliases away from the true vector (e.g.
+    a diagonal gradient, where every dy+dx=const candidate matches)
+    can trap stage 1 in a local minimum the +-2 refinement cannot
+    leave, costing compression, never correctness.  bench.py
+    (pframe_720p full-vs-epzs, mv_search_4k) publishes the measured
+    throughput/size trade.
+    """
+    H, W = cur.shape
+    bh, bw = H // block, W // block
+    cur = jnp.asarray(cur, jnp.int32)
+    ref = jnp.asarray(ref, jnp.int32)
+    prev_mvs = jnp.asarray(prev_mvs, jnp.int32)
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+
+    def sad_cost_at(mvb):
+        dy = jnp.repeat(jnp.repeat(mvb[..., 0], block, 0), block, 1)
+        dx = jnp.repeat(jnp.repeat(mvb[..., 1], block, 0), block, 1)
+        ys = jnp.clip(yy + dy, 0, H - 1)
+        xs = jnp.clip(xx + dx, 0, W - 1)
+        diff = jnp.abs(cur - ref[ys, xs])
+        sad = diff.reshape(bh, block, bw, block).sum(axis=(1, 3))
+        pen = (jnp.abs(mvb[..., 0] - prev_mvs[..., 0]) +
+               jnp.abs(mvb[..., 1] - prev_mvs[..., 1])) * lam
+        return sad, sad + pen
+
+    half = (radius + 1) // 2
+    pts = sorted({-radius, -half, 0, half, radius})
+    cands = [jnp.broadcast_to(jnp.asarray([dy, dx], jnp.int32),
+                              (bh, bw, 2))
+             for dy in pts for dx in pts]
+
+    def shift_field(f, dy, dx):
+        ys = jnp.clip(jnp.arange(bh) + dy, 0, bh - 1)
+        xs = jnp.clip(jnp.arange(bw) + dx, 0, bw - 1)
+        return f[ys][:, xs]
+
+    for dy, dx in ((0, 0), (0, -1), (0, 1), (-1, 0), (1, 0)):
+        cands.append(jnp.clip(shift_field(prev_mvs, dy, dx),
+                              -radius, radius))
+    costs1 = jnp.stack([sad_cost_at(c)[1] for c in cands])
+    b1 = jnp.argmin(costs1, axis=0)
+    ctr = jnp.take_along_axis(
+        jnp.stack(cands),
+        jnp.broadcast_to(b1[None, :, :, None], (1, bh, bw, 2)),
+        axis=0)[0]
+
+    r2 = min(2, radius)
+    cands2 = [jnp.clip(ctr + jnp.asarray([dy, dx], jnp.int32),
+                       -radius, radius)
+              for dy in range(-r2, r2 + 1) for dx in range(-r2, r2 + 1)]
+    sads2, costs2 = zip(*[sad_cost_at(c) for c in cands2])
+    sads2 = jnp.stack(sads2)
+    costs2 = jnp.stack(costs2)
+    b2 = jnp.argmin(costs2, axis=0)
+    mvs = jnp.take_along_axis(
+        jnp.stack(cands2),
+        jnp.broadcast_to(b2[None, :, :, None], (1, bh, bw, 2)),
+        axis=0)[0]
+    take = lambda a: jnp.take_along_axis(a, b2[None], 0)[0]  # noqa: E731
+    return mvs, take(sads2), take(costs2)
+
+
+SEARCH_FNS = {"full": block_motion_search_cost,
+              "epzs": block_motion_search_epzs}
+
+
 @functools.partial(jax.jit, static_argnames=("block",)) \
     if _HAVE_JAX else (lambda f: f)
 def motion_compensate(ref, mvs, block: int = 16):

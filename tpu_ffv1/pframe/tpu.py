@@ -39,7 +39,7 @@ from ..core.intmath import ceil_rshift
 from ..tpu.encoder import PREFIX_CAP, TPUFFV1Encoder
 from ..tpu.residual import load_plane, residuals_and_contexts
 from .codec import BLOCK, LAMBDA
-from .motion import block_motion_search_cost
+from .motion import SEARCH_FNS  # noqa: F401  (search mode registry)
 
 
 def _tent_indices(H, W, by, bx):
@@ -105,7 +105,8 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
     byte-identical to the host FFV1PEncoder."""
 
     def __init__(self, params: EncoderParams, batch: int = 1,
-                 radius: int = 7, experimental: bool = False, mesh=None):
+                 radius: int = 7, experimental: bool = False, mesh=None,
+                 me: str = "full"):
         if not experimental:
             raise ValueError(
                 "FFV1-P motion coding is experimental; pass "
@@ -113,6 +114,10 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
                 "gate, ffv1enc.c:703-706)")
         if params.gop_size < 2:
             raise ValueError("FFV1-P needs gop_size >= 2")
+        from .motion import SEARCH_FNS
+        if me not in SEARCH_FNS:
+            raise ValueError(f"me must be one of {sorted(SEARCH_FNS)}")
+        self.me = me
         super().__init__(params, batch=batch, mesh=mesh)
         rp = self.rp
         if rp.bits_per_raw_sample > 15 or rp.colorspace != 0 or \
@@ -176,9 +181,14 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
 
     def _search(self, cur_pad, ref_pad, prev_mvs):
         """Vectorized rate-aware search + intra decision over lanes
-        (pframe/codec.py _search_slice, device form)."""
+        (pframe/codec.py _search_slice, device form).  ``me`` selects
+        the full-grid or the EPZS-style predictor-seeded search — the
+        SAME jax function the host encoder calls, so byte parity holds
+        in either mode."""
+        from .motion import SEARCH_FNS
+        search = SEARCH_FNS[self.me]
         mvs, sad, cost = jax.vmap(
-            lambda c, r, p: block_motion_search_cost(
+            lambda c, r, p: search(
                 c, r, p, BLOCK, self.radius, LAMBDA))(
             cur_pad, ref_pad, prev_mvs)
         B2 = BLOCK * BLOCK

@@ -19,6 +19,7 @@ per-slice scans (dec_scan.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -119,7 +120,8 @@ class TPUFFV1Decoder:
             g.colorspace, g.bits_per_raw_sample or 8, g.chroma_planes,
             g.chroma_h_shift, g.chroma_v_shift, g.transparency)
         # RGB planes code at 9 bits for <=8-bit sources, bits+1 above
-        # (ffv1dec.c:252-255); the fused kernel needs coded width <= 10
+        # (ffv1dec.c:252-255); selects the kernel schedule (<=10 the
+        # distinct-slot form, 11..17 the ext running-row form)
         self.coded_bits = (9 if self.bits <= 8 else self.bits + 1) \
             if self.rgb else self.bits
         if g.ac == T.AC_RANGE_CUSTOM_TAB:
@@ -159,14 +161,24 @@ class TPUFFV1Decoder:
             raise NotImplementedError(
                 "TPU RGB decode requires a uniform slice grid; use the "
                 "host decoder otherwise")
+        # ya8 (transparency without chroma at 8 bits, colorspace 0):
+        # decoded as a luma + alpha plane pair, returned interleaved
+        self.ya = (not self.rgb and g.transparency
+                   and not g.chroma_planes and self.bits <= 8)
 
         # Pallas decode kernel (VMEM-resident states/rows/byte FIFO) on
-        # real accelerators, for coded widths <= 10 (the distinct-slot
-        # decision schedule); wider runs the XLA lane scan, whose
-        # clipped-row schedule (1+min(j,9)) covers up to 17 bits
+        # real accelerators: the distinct-slot decision schedule at
+        # coded widths <= 10, the extended running-row schedule
+        # (rows 10/31 carried inline) for 11..17 — the full format
+        # range, like the encode kernel pair.  FFV1_PALLAS_DEC_EXT=0
+        # forces the XLA lane scan above 10 bits (escape hatch while
+        # real-HW parity for the ext kernel is fresh).
         import jax as _jax
+        ext_ok = os.environ.get("FFV1_PALLAS_DEC_EXT", "1") \
+            not in ("0", "false")
         self.use_pallas = (_jax.devices()[0].platform != "cpu"
-                           and self.coded_bits <= 10)
+                           and (self.coded_bits <= 10 or
+                                (ext_ok and self.coded_bits <= 17)))
 
         if self.golomb and not self.uniform:
             raise NotImplementedError(
@@ -765,6 +777,10 @@ class TPUFFV1Decoder:
                     dst[ys:he, xs:we] = src_p[ys:he, xs:we]
         self.last_planes[bi] = planes
         self.key_frame_ok[bi] = True
+        if self.ya:
+            # ya8 output convention: one (h, w, 2) interleaved array
+            # (FFV1Decoder's channel-strided storage, ffv1dec.c:185)
+            return [np.stack((planes[0], planes[1]), axis=-1)]
         return planes
 
     def _packed_at_lsb(self):

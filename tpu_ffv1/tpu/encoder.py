@@ -78,10 +78,11 @@ class TPUFFV1Encoder:
             if rp.ac == T.AC_GOLOMB_RICE:
                 raise NotImplementedError(
                     "TPU RGB path requires the range coder")
-        elif rp.fmt.interleaved:
-            raise NotImplementedError(
-                "TPU path currently supports planar YUV/gray and RGB "
-                "formats (not ya8)")
+        # ya8 (interleaved luma/alpha, ffv1enc.c:1437): de-interleaved
+        # at submit into a luma + alpha plane pair riding the standard
+        # planar pipeline (alpha codes on state plane 1, matching the
+        # reference's encode_plane(..., 1) call, ffv1enc.c:1196)
+        self.ya = rp.colorspace == 0 and rp.fmt.interleaved
         self.batch = batch
         self.extradata = write_extradata(rp)
         self.geoms = slice_grid(rp.width, rp.height,
@@ -300,7 +301,8 @@ class TPUFFV1Encoder:
             add(planes[1][cy:cy + ch, cx:cx + cw], 1)
             add(planes[2][cy:cy + ch, cx:cx + cw], 1)
         if rp.transparency:
-            add(planes[-1][y:y + h, x:x + w], 2)
+            add(planes[-1][y:y + h, x:x + w],
+                2 if rp.chroma_planes else 1)
         return jnp.concatenate(parts_ctx), jnp.concatenate(parts_diff)
 
     def _host_prefix_golomb(self, si: int, keyframe: bool) -> bytes:
@@ -448,7 +450,9 @@ class TPUFFV1Encoder:
             add(streams[1], 1)
             add(streams[2], 1)
         if rp.transparency:
-            add(streams[-1], 2)
+            # ya8 codes alpha on state plane 1 (no chroma planes
+            # between, ffv1enc.c:1196); yuva formats on plane 2
+            add(streams[-1], 2 if rp.chroma_planes else 1)
         ctxs = jnp.concatenate(parts_ctx, axis=1)
         diffs = jnp.concatenate(parts_diff, axis=1)
         n = ctxs.shape[1]
@@ -730,6 +734,13 @@ class TPUFFV1Encoder:
             tuple(np.asarray(p)
                   for p in (s if isinstance(s, (list, tuple)) else [s]))
             for s in streams)
+        if self.ya:
+            # split the (H, W, 2) interleaved storage into the luma +
+            # alpha plane pair the planar pipeline codes
+            streams_np = tuple(
+                (np.ascontiguousarray(s[0][..., 0]),
+                 np.ascontiguousarray(s[0][..., 1]))
+                for s in streams_np)
         keyframe = (rp.gop_size == 0 or
                     self.picture_number % rp.gop_size == 0)
 

@@ -1,4 +1,6 @@
-"""Pallas TPU kernel for FFV1 decode (range coder, planar, bits <= 10).
+"""Pallas TPU kernel for FFV1 decode (range coder, planar, coded
+widths 1..17: the distinct-slot schedule at <= 10 bits, the extended
+running-row schedule above — mirroring the encode kernel pair).
 
 Decode is pixel-serial per slice (each reconstructed sample feeds the
 next pixel's context), so throughput comes from LANES: L independent
@@ -196,9 +198,10 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide, gather,
             # 8-pixel group (4 B/px of feed vs ~1.3 B/px typical
             # consumption), plus a low-water check every other pixel
             # triggering a 64-byte catch-up — worst-case consumption
-            # between checks is 2 x (2*e_max+3) <= 42 bytes at 10 bits,
-            # so an 88-byte floor at each check keeps reads strictly
-            # behind the fill even on pathological streams
+            # between checks is 2 x (2*e_max+3) bytes: <= 42 at 10
+            # bits, <= 70 at the 17-bit ext ceiling, so an 88-byte
+            # floor at each check keeps reads strictly behind the fill
+            # even on pathological streams
             if px == 0:
                 feed_block(pos)
             if px % 2 == 0:
@@ -316,22 +319,54 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide, gather,
             nz = ~b0 & ones
             e = jnp.zeros((1, L), jnp.int32)
             done = ~nz
-            for j in range(e_max + 1):
-                s = rowsT[1 + j:2 + j, :]
-                bit, low, rng, pos = rac(s, low, rng, pos, ~done)
-                stat_steps[1 + j] = (~done, s, bit.astype(jnp.int32))
-                e = e + (bit & ~done).astype(jnp.int32)
-                done = done | ~bit
+            s10 = s31 = None
+            if bits <= 10:
+                for j in range(e_max + 1):
+                    s = rowsT[1 + j:2 + j, :]
+                    bit, low, rng, pos = rac(s, low, rng, pos, ~done)
+                    stat_steps[1 + j] = (~done, s, bit.astype(jnp.int32))
+                    e = e + (bit & ~done).astype(jnp.int32)
+                    done = done | ~bit
+            else:
+                # extended schedule (coded widths 11..17): the FFMIN
+                # row caps (1+min(j,9), 22+min(i,9); ffv1dec.c:53 /
+                # dec_scan_lanes.py:161-175) give rows 10 and 31
+                # SEVERAL decisions per pixel — those two rows carry
+                # RUNNING states transitioned inline through the chain
+                # (the encode ext kernel's scheme, rc_pallas.py);
+                # single-touch rows keep the deferred batch adaptation.
+                s10 = rowsT[10:11, :]
+                for j in range(e_max + 1):
+                    act = ~done
+                    s = rowsT[1 + j:2 + j, :] if j <= 8 else s10
+                    bit, low, rng, pos = rac(s, low, rng, pos, act)
+                    bi = bit.astype(jnp.int32)
+                    if j <= 8:
+                        stat_steps[1 + j] = (act, s, bi)
+                    else:
+                        s10 = jnp.where(act, transition(s10, bi), s10)
+                    e = e + (bit & act).astype(jnp.int32)
+                    done = done | ~bit
+                s31 = rowsT[31:32, :]
             aval = jnp.ones((1, L), jnp.int32)
             for j in range(e_max):
                 actj = nz & (j < e)
-                ridx = 22 + jnp.clip(e - 1 - j, 0, 9)
-                msel = posT_eq(ridx)
+                iclip = jnp.clip(e - 1 - j, 0, 9)
+                msel = posT_eq(22 + iclip)
                 s = jnp.sum(rowsT * msel, axis=0, keepdims=True)
+                if bits > 10:
+                    # lanes at the cap read/advance the running row 31
+                    use31 = iclip == 9
+                    s = jnp.where(use31, s31, s)
                 bit, low, rng, pos = rac(s, low, rng, pos, actj)
-                dyn_steps.append((msel, actj, s, bit.astype(jnp.int32)))
-                aval = jnp.where(actj, aval + aval + bit.astype(jnp.int32),
-                                 aval)
+                bi = bit.astype(jnp.int32)
+                if bits > 10:
+                    s31 = jnp.where(use31 & actj, transition(s31, bi),
+                                    s31)
+                    dyn_steps.append((msel & ~use31, actj, s, bi))
+                else:
+                    dyn_steps.append((msel, actj, s, bi))
+                aval = jnp.where(actj, aval + aval + bi, aval)
             ridx = 11 + jnp.minimum(e, 10)
             msel = posT_eq(ridx)
             s = jnp.sum(rowsT * msel, axis=0, keepdims=True)
@@ -347,7 +382,11 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide, gather,
                 base_rows = jnp.where(msel & actj, ns, base_rows)
             rows_new = []
             for p in range(32):
-                if p in news:
+                if bits > 10 and p == 10:
+                    rows_new.append(s10)
+                elif bits > 10 and p == 31:
+                    rows_new.append(s31)
+                elif p in news:
                     m, ns = news[p]
                     rows_new.append(jnp.where(m, ns, base_rows[p:p + 1]))
                 else:
@@ -380,6 +419,11 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide, gather,
                 jnp.minimum(jnp.minimum(Lv, m2), T) - \
                 jnp.maximum(jnp.maximum(Lv, m2), T)
             val = (pred + diff) & mask_v
+            if bits == 16:
+                # int16_t sample-row storage wrap (dec_scan_lanes.py
+                # :189-193; the C ring rows are int16_t, so 16-bit
+                # samples go negative and the median compares signed)
+                val = ((val + 0x8000) & 0xFFFF) - 0x8000
             val = jnp.where(ones, val, vprev)   # pad: replicate last
             decoded.append(val)
             vprev2 = jnp.where(ones, Lv, vprev2)
