@@ -110,7 +110,10 @@ class NutStream:
     keyflags: list = field(default_factory=list)
 
 
-def write_nut(path: str, st: NutStream):
+def nut_header_bytes(st: NutStream) -> bytes:
+    """File-id string + main header + stream header: the streamable
+    prefix (everything before the first syncpoint).  Live HTTP streams
+    send this once, then nut_frame_bytes per packet."""
     rate, scale = st.fps
 
     # main header: one generic CODED frame code for all 256 codes
@@ -149,34 +152,39 @@ def write_nut(path: str, st: NutStream):
     sh += put_v(0) + put_v(0)       # sample aspect ratio (unknown)
     sh += put_v(0)                  # colorspace type
 
-    out = bytearray()
-    out += ID_STRING
-    out += _packet(MAIN_STARTCODE, bytes(mh))
-    out += _packet(STREAM_STARTCODE, bytes(sh))
+    return bytes(ID_STRING + _packet(MAIN_STARTCODE, bytes(mh)) +
+                 _packet(STREAM_STARTCODE, bytes(sh)))
 
+
+def nut_frame_bytes(i: int, pkt: bytes, key: bool) -> bytes:
+    """Syncpoint + frame header + payload for packet ``i`` — the
+    per-frame streamable unit (same wire bytes write_nut emits)."""
+    # one syncpoint per frame (global_key_pts, back_ptr_div16)
+    out = bytearray()
+    out += _packet(SYNCPOINT_STARTCODE, put_v(i) + put_v(0))
+
+    flags = FLAG_CODED_PTS | FLAG_SIZE_MSB | FLAG_CHECKSUM
+    # max_pts_distance=1 forces per-frame checksums anyway; keep them
+    # unconditional for robustness
+    if key:
+        flags |= FLAG_KEY
+    coded_pts = i + (1 << MSB_PTS_SHIFT)  # absolute form
+    header = bytearray()
+    header += bytes([0])                      # frame code 0
+    header += put_v(flags ^ FLAG_CODED)       # coded_flags
+    header += put_v(coded_pts)
+    header += put_v(len(pkt))                 # size_msb (mul=1)
+    header += int(crc32_ieee(bytes(header))).to_bytes(4, "little")
+    out += header
+    out += bytes(pkt)
+    return bytes(out)
+
+
+def write_nut(path: str, st: NutStream):
+    out = bytearray(nut_header_bytes(st))
     for i, pkt in enumerate(st.packets):
         key = st.keyflags[i] if i < len(st.keyflags) else True
-        # one syncpoint per frame (global_key_pts, back_ptr_div16)
-        sp = put_v(i) + put_v(0)
-        out += _packet(SYNCPOINT_STARTCODE, sp)
-
-        flags = FLAG_CODED_PTS | FLAG_SIZE_MSB
-        if key:
-            flags |= FLAG_KEY
-        if len(pkt) > 2 * MAX_DISTANCE or True:
-            # max_pts_distance=1 forces per-frame checksums anyway; keep
-            # them unconditional for robustness
-            flags |= FLAG_CHECKSUM
-        coded_pts = i + (1 << MSB_PTS_SHIFT)  # absolute form
-        header = bytearray()
-        header += bytes([0])                      # frame code 0
-        header += put_v(flags ^ FLAG_CODED)       # coded_flags
-        header += put_v(coded_pts)
-        header += put_v(len(pkt))                 # size_msb (mul=1)
-        header += int(crc32_ieee(bytes(header))).to_bytes(4, "little")
-        out += header
-        out += bytes(pkt)
-
+        out += nut_frame_bytes(i, pkt, key)
     with open(path, "wb") as f:
         f.write(out)
 

@@ -100,18 +100,15 @@ def write_y4m_stream(f, frames, pix_fmt: str, width: int, height: int,
                 f.write(arr.astype(np.uint8).tobytes())
 
 
-def read_y4m(path: str):
-    """Read a YUV4MPEG2 stream -> (frames, pix_fmt, width, height,
-    (fps_num, fps_den))."""
-    with open(path, "rb") as f:
-        data = f.read()
-    nl = data.find(b"\n")
-    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+def parse_y4m_header(line: bytes):
+    """Parse the ``YUV4MPEG2 ...`` stream-header line ->
+    (pix_fmt, width, height, (fps_num, fps_den))."""
+    if not line.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 stream")
     width = height = 0
     fps = (25, 1)
     pix_fmt = "yuv420p"   # tag-less streams default to 4:2:0 (spec)
-    for tok in data[:nl].decode("ascii", "replace").split(" ")[1:]:
+    for tok in line.decode("ascii", "replace").split(" ")[1:]:
         if not tok:
             continue
         key, val = tok[0], tok[1:]
@@ -129,6 +126,71 @@ def read_y4m(path: str):
             pix_fmt = _READ_TAGS[base]
     if width <= 0 or height <= 0:
         raise ValueError("y4m header missing W/H")
+    return pix_fmt, width, height, fps
+
+
+def _read_line(f, limit=4096):
+    """Read up to LF from a binary stream without over-reading past it
+    (socket feeds can't be seeked back)."""
+    buf = bytearray()
+    while len(buf) < limit:
+        b = f.read(1)
+        if not b:
+            break
+        if b == b"\n":
+            return bytes(buf)
+        buf += b
+    if len(buf) >= limit:
+        raise ValueError("y4m header line too long")
+    return bytes(buf) if buf else None
+
+
+def read_y4m_stream_header(f):
+    """Incremental form of the header parse for live ingestion (the
+    ffserver-analog feed reads its publisher's socket with this) ->
+    (pix_fmt, width, height, fps).  Raises on garbage, returns None on
+    immediate EOF."""
+    line = _read_line(f)
+    if line is None:
+        return None
+    return parse_y4m_header(line)
+
+
+def read_y4m_stream_frame(f, pix_fmt: str, width: int, height: int):
+    """Read one FRAME from an open binary stream -> plane list, or
+    None on clean EOF (publisher closed between frames)."""
+    line = _read_line(f)
+    if line is None:
+        return None
+    if not line.startswith(b"FRAME"):
+        raise ValueError("bad y4m frame header")
+    fmt = get_pix_fmt(pix_fmt)
+    dims = _plane_dims(fmt, width, height)
+    itemsz = 2 if fmt.bits > 8 else 1
+    planes = []
+    for h, w in dims:
+        need = h * w * itemsz
+        chunks = bytearray()
+        while len(chunks) < need:
+            b = f.read(need - len(chunks))
+            if not b:
+                raise ValueError("truncated y4m frame")
+            chunks += b
+        a = np.frombuffer(bytes(chunks),
+                          "<u2" if itemsz == 2 else np.uint8).reshape(h, w)
+        planes.append(a.astype(np.uint16 if itemsz == 2 else np.uint8))
+    return planes
+
+
+def read_y4m(path: str):
+    """Read a YUV4MPEG2 stream -> (frames, pix_fmt, width, height,
+    (fps_num, fps_den))."""
+    with open(path, "rb") as f:
+        data = f.read()
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise ValueError("not a YUV4MPEG2 stream")
+    pix_fmt, width, height, fps = parse_y4m_header(data[:nl])
     fmt = get_pix_fmt(pix_fmt)
     dims = _plane_dims(fmt, width, height)
     itemsz = 2 if fmt.bits > 8 else 1
