@@ -331,29 +331,11 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
             if keyframe:
                 states0 = jnp.full_like(self.states, 128)
                 with phase_timer("tpu-penc", "dispatch-key"):
-                    try:
-                        (out, counts, states_out, overflow, packed, low,
-                         rng, _rowbytes) = self._frame_fn(
-                            cur, states0, jnp.asarray(lows),
-                            jnp.asarray(ranges), jnp.asarray(prefixes),
-                            jnp.asarray(plens),
-                            use_pallas=self.use_pallas)
-                    except Exception as e:
-                        # same one-shot Pallas->XLA fallback as the
-                        # parent's _submit_fast (kernel support varies
-                        # across TPU toolchains)
-                        if not self.use_pallas:
-                            raise
-                        from ..log import WARNING, log
-                        log(WARNING, "tpu-penc", "Pallas kernel failed "
-                            f"({type(e).__name__}); falling back to "
-                            "the XLA scan path")
-                        self.use_pallas = False
-                        (out, counts, states_out, overflow, packed, low,
-                         rng, _rowbytes) = self._frame_fn(
-                            cur, states0, jnp.asarray(lows),
-                            jnp.asarray(ranges), jnp.asarray(prefixes),
-                            jnp.asarray(plens), use_pallas=False)
+                    # staged gather-form -> tree-form -> XLA fallback,
+                    # shared with the parent's _submit_fast
+                    (out, counts, states_out, overflow, packed, low,
+                     rng, _rowbytes) = self._dispatch_staged(
+                        cur, states0, lows, ranges, prefixes, plens)
                 # the keyframe's evolved intra contexts are NOT the
                 # P chain's: the host codec clears a fresh SliceState
                 # at each GOP start (codec.py _PSliceState / ps.ss,
@@ -364,27 +346,38 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
             else:
                 states0 = self.states
                 with phase_timer("tpu-penc", "dispatch-p"):
-                    try:
-                        (out, counts, states_out, overflow, packed, low,
-                         rng, new_prev) = self._p_fn(
-                            cur, self.ref_dev, self.prev_mvs, states0,
-                            jnp.asarray(lows), jnp.asarray(ranges),
-                            jnp.asarray(prefixes), jnp.asarray(plens),
-                            use_pallas=self.use_pallas)
-                    except Exception as e:
-                        if not self.use_pallas:
-                            raise
-                        from ..log import WARNING, log
-                        log(WARNING, "tpu-penc", "Pallas kernel failed "
-                            f"({type(e).__name__}); falling back to "
-                            "the XLA scan path")
-                        self.use_pallas = False
-                        (out, counts, states_out, overflow, packed, low,
-                         rng, new_prev) = self._p_fn(
-                            cur, self.ref_dev, self.prev_mvs, states0,
-                            jnp.asarray(lows), jnp.asarray(ranges),
-                            jnp.asarray(prefixes), jnp.asarray(plens),
-                            use_pallas=False)
+                    # staged fallback, P pipeline: gather-form kernel
+                    # -> select-tree kernel -> XLA scan
+                    while True:
+                        try:
+                            (out, counts, states_out, overflow, packed,
+                             low, rng, new_prev) = self._p_fn(
+                                cur, self.ref_dev, self.prev_mvs,
+                                states0, jnp.asarray(lows),
+                                jnp.asarray(ranges),
+                                jnp.asarray(prefixes),
+                                jnp.asarray(plens),
+                                use_pallas=self.use_pallas)
+                            break
+                        except Exception as e:
+                            if not self.use_pallas:
+                                raise
+                            from ..log import WARNING, log
+                            if self.pallas_gather is not False:
+                                log(WARNING, "tpu-penc", "Pallas "
+                                    "gather-form lookup failed "
+                                    f"({type(e).__name__}); retrying "
+                                    "with select-tree lookups")
+                                self.pallas_gather = False
+                            else:
+                                log(WARNING, "tpu-penc", "Pallas "
+                                    f"kernel failed ({type(e).__name__}"
+                                    "); falling back to the XLA scan "
+                                    "path")
+                                self.use_pallas = False
+                            self._p_fn = jax.jit(
+                                self._frame_pipeline_p,
+                                static_argnames=("use_pallas",))
                 self.prev_mvs = new_prev
             self.states = states_out
             self.ref_dev = cur

@@ -67,17 +67,22 @@ class TPUFFV1Encoder:
         if rp.version < 2:
             raise NotImplementedError("TPU path requires version >= 3")
         self.rgb = rp.colorspace == 1
-        if self.rgb:
-            # device RCT runs with the fixed 1,1 coefficients
-            # (ffv1enc.c:1165-1167); the v4 per-slice RCT search is a
-            # host-path feature
-            if rp.version > 3:
-                raise NotImplementedError(
-                    "TPU RGB path supports version <= 3 (v4 per-slice "
-                    "RCT search runs on the host engine)")
-            if rp.ac == T.AC_GOLOMB_RICE:
-                raise NotImplementedError(
-                    "TPU RGB path requires the range coder")
+        if self.rgb and rp.ac == T.AC_GOLOMB_RICE:
+            raise NotImplementedError(
+                "TPU RGB path requires the range coder")
+        # v4 runs the per-slice RCT parameter search wherever the host
+        # engine does (ffv1enc.c:1163-1168 via codec/encoder.py): RGB,
+        # and full-resolution >8-bit-chroma YUV (where the reference's
+        # unguarded call is a pure function of the pixels; see
+        # codec/rct.py).  On the fused pipeline the search runs on
+        # device (tpu/rct_search.py, 15 candidates as unrolled
+        # reductions) with only the (L,) winning indices crossing the
+        # link; the slow/Golomb paths search on the host pixels.
+        self.rct_search = rp.version > 3 and (
+            self.rgb or
+            (rp.colorspace == 0 and rp.chroma_planes and
+             rp.bits_per_raw_sample > 8 and
+             rp.chroma_h_shift == 0 and rp.chroma_v_shift == 0))
         # ya8 (interleaved luma/alpha, ffv1enc.c:1437): de-interleaved
         # at submit into a luma + alpha plane pair riding the standard
         # planar pipeline (alpha codes on state plane 1, matching the
@@ -135,6 +140,10 @@ class TPUFFV1Encoder:
                 f"lane count {self.L} (batch x slices) must divide the "
                 f"mesh size {mesh.devices.size}")
 
+        # Pallas lookup form: None = env default (gather); set to
+        # False by the staged dispatch fallback when the gather form
+        # fails Mosaic lowering (the select-tree form is byte-identical)
+        self.pallas_gather = None
         # lane-major device state tables, persisted across frames
         self.states = jnp.full((self.L, self.total_cc, 32), 128,
                                dtype=jnp.uint8)
@@ -305,7 +314,8 @@ class TPUFFV1Encoder:
                 2 if rp.chroma_planes else 1)
         return jnp.concatenate(parts_ctx), jnp.concatenate(parts_diff)
 
-    def _host_prefix_golomb(self, si: int, keyframe: bool) -> bytes:
+    def _host_prefix_golomb(self, si: int, keyframe: bool,
+                            coefs=None) -> bytes:
         """Terminated range-coded slice header for the Golomb path
         (header always range coded; rc terminated after a v3 sentinel
         bit and the bit writer starts at ac_byte_count —
@@ -323,8 +333,7 @@ class TPUFFV1Encoder:
         ss = _SS()
         ss.geom = self.geoms[si]
         ss.slice_coding_mode = 0
-        ss.slice_rct_by_coef = 1
-        ss.slice_rct_ry_coef = 1
+        ss.slice_rct_by_coef, ss.slice_rct_ry_coef = coefs or (1, 1)
         write_slice_header(rp, ss, enc)
         if rp.version > 2:
             sentinel = np.array([129], dtype=np.uint8)
@@ -388,7 +397,7 @@ class TPUFFV1Encoder:
             cache[keyframe] = (lows, ranges, prefixes, plens)
         return cache[keyframe]
 
-    def _host_prefix(self, si: int, keyframe: bool):
+    def _host_prefix(self, si: int, keyframe: bool, coefs=None):
         rp = self.rp
         enc = ProvisionalRangeEncoder(*default_state_tables())
         if si == 0:
@@ -403,10 +412,40 @@ class TPUFFV1Encoder:
         ss = _SS()
         ss.geom = self.geoms[si]
         ss.slice_coding_mode = 0
-        ss.slice_rct_by_coef = 1
-        ss.slice_rct_ry_coef = 1
+        ss.slice_rct_by_coef, ss.slice_rct_ry_coef = coefs or (1, 1)
         write_slice_header(rp, ss, enc)
         return enc.low, enc.range, enc.prov
+
+    def _prefix_arrays_rct(self, keyframe: bool, coefs):
+        """Per-lane prefix arrays with per-slice searched RCT
+        coefficients (v4) — headers differ per lane AND per frame, so
+        nothing is cached.  ``coefs``: list of (by, ry) per lane."""
+        lows = np.zeros(self.L, np.int32)
+        ranges = np.zeros(self.L, np.int32)
+        prefixes = np.zeros((self.L, PREFIX_CAP), np.int32)
+        plens = np.zeros(self.L, np.int32)
+        for lane in range(self.L):
+            si = lane % self.n_slices
+            lo, ra, prov = self._host_prefix(si, keyframe, coefs[lane])
+            lows[lane], ranges[lane] = lo, ra
+            prefixes[lane, :len(prov)] = prov
+            plens[lane] = len(prov)
+        return lows, ranges, prefixes, plens
+
+    def _rct_coefs_host(self, streams_np):
+        """Host-pixel fallback search for the non-fused paths (slow,
+        Golomb): byte-identical to the host engine's choose_rct_params
+        call (codec/encoder.py), per lane."""
+        from ..codec.rct import choose_rct_params
+        out = []
+        for bi in range(self.batch):
+            planes = streams_np[bi]
+            for geom in self.geoms:
+                crops = [p[geom.y:geom.y + geom.height,
+                           geom.x:geom.x + geom.width]
+                         for p in planes[:3]]
+                out.append(choose_rct_params(crops, False))
+        return out
 
     # -----------------------------------------------------------------
 
@@ -420,15 +459,16 @@ class TPUFFV1Encoder:
         return jnp.transpose(c, (0, 1, 3, 2, 4)).reshape(B * nv * nh,
                                                          h, w)
 
-    def _streams_uniform(self, streams):
+    def _streams_uniform(self, streams, rct=None):
         """Vectorized (ctx, diff) lane streams for uniform slice grids:
         one vmapped stencil per plane type instead of batch x slices
-        traced instances."""
+        traced instances.  ``rct``: optional per-lane (by, ry) int32
+        arrays for the v4 searched RCT coefficients (RGB only)."""
         rp = self.rp
         nh, nv = rp.num_h_slices, rp.num_v_slices
 
         if self.rgb:
-            return self._streams_uniform_rgb(streams)
+            return self._streams_uniform_rgb(streams, rct)
 
         def stencil(img):
             s = load_plane(img, self.bits, rp.packed_at_lsb)
@@ -463,20 +503,14 @@ class TPUFFV1Encoder:
         acts_np[:, :n] = True
         return ctxs, diffs, jnp.asarray(acts_np)
 
-    def _streams_uniform_rgb(self, streams):
-        """(ctx, diff) lane streams for RGB (colorspace=1).
-
-        Coding order interleaves planes per ROW — for each y the G, B,
-        R(, A) lines are coded in sequence (ffv1enc.c:428-470) — so the
-        per-plane stencil outputs are stacked on a row-interior axis
-        before flattening.  The RCT runs on the full frame before slice
-        cropping (pixel-local, so slice-equivalent)."""
+    def _split_rgb(self, streams):
+        """streams -> (b, g, r, a|None) int32 full frames, matching the
+        reference's plane binding (plane 0 -> "b", ffv1enc.c:441-444;
+        packed bgra channel order ffv1enc.c:433-439)."""
         rp = self.rp
-        nh, nv = rp.num_h_slices, rp.num_v_slices
-        B = self.batch
         if rp.fmt.interleaved:
             # packed bgra/bgr0: uploaded as (B, H, W*4) uint8 rows
-            x = streams[0].reshape(B, rp.height, rp.width, 4) \
+            x = streams[0].reshape(self.batch, rp.height, rp.width, 4) \
                 .astype(jnp.int32)
             b, g, r = x[..., 0], x[..., 1], x[..., 2]
             a = x[..., 3] if rp.transparency else None
@@ -489,8 +523,21 @@ class TPUFFV1Encoder:
             g = streams[1].astype(jnp.int32)
             r = streams[2].astype(jnp.int32)
             a = streams[3].astype(jnp.int32) if rp.transparency else None
-        g, b, r = rct_transform(g, b, r, self.raw_bits)
-        planes = [g, b, r] + ([a] if a is not None else [])
+        return b, g, r, a
+
+    def _streams_uniform_rgb(self, streams, rct=None):
+        """(ctx, diff) lane streams for RGB (colorspace=1).
+
+        Coding order interleaves planes per ROW — for each y the G, B,
+        R(, A) lines are coded in sequence (ffv1enc.c:428-470) — so the
+        per-plane stencil outputs are stacked on a row-interior axis
+        before flattening.  With the fixed v<=3 coefficients the RCT
+        runs on the full frame before slice cropping (pixel-local, so
+        slice-equivalent); with v4 searched coefficients (``rct`` =
+        per-lane (by, ry) arrays) it runs per slice crop instead."""
+        rp = self.rp
+        nh, nv = rp.num_h_slices, rp.num_v_slices
+        b, g, r, a = self._split_rgb(streams)
         offs = [0, self.cc, self.cc, 2 * self.cc]
 
         def stencil(img):
@@ -498,9 +545,25 @@ class TPUFFV1Encoder:
                                           self.five_input,
                                           qspec=self.qspec)
 
+        if rct is None:
+            g, b, r = rct_transform(g, b, r, self.raw_bits)
+            plane_crops = [self._crops_uniform(p, nh, nv)
+                           for p in [g, b, r] + ([a] if a is not None
+                                                 else [])]
+        else:
+            by_l, ry_l = rct
+            gc, bc, rc_ = (self._crops_uniform(p, nh, nv)
+                           for p in (g, b, r))
+            gc, bc, rc_ = jax.vmap(
+                lambda g_, b_, r_, by_, ry_: rct_transform(
+                    g_, b_, r_, self.raw_bits, by_, ry_))(
+                gc, bc, rc_, by_l, ry_l)
+            plane_crops = [gc, bc, rc_] + \
+                ([self._crops_uniform(a, nh, nv)] if a is not None
+                 else [])
+
         ctx_p, diff_p = [], []
-        for p_i, arr in enumerate(planes):
-            crops = self._crops_uniform(arr, nh, nv)      # (L, h, w)
+        for p_i, crops in enumerate(plane_crops):         # (L, h, w)
             c, d = jax.vmap(stencil)(crops)               # (L, h, w)
             ctx_p.append(c + offs[p_i])
             diff_p.append(d)
@@ -514,13 +577,47 @@ class TPUFFV1Encoder:
         acts_np[:, :n] = True
         return ctxs, diffs, jnp.asarray(acts_np)
 
+    def _rct_pairs(self, streams):
+        """Device half of the v4 RCT search: per-lane (15, 2) exact
+        cost-sum pairs (tpu/rct_search.py) over the slice crops of the
+        b/g/r planes — YUV reads planes 0/1/2 the same way the
+        reference's unguarded call does (ffv1enc.c:1163-1164)."""
+        rp = self.rp
+        streams = tuple(
+            (jnp.concatenate(p, axis=0) if len(p) > 1 else p[0])
+            .reshape(self.batch, -1, p[0].shape[-1])
+            if isinstance(p, tuple) else p
+            for p in streams)
+        if self.rgb:
+            b, g, r, _a = self._split_rgb(streams)
+        else:
+            b = streams[0].astype(jnp.int32)
+            g = streams[1].astype(jnp.int32)
+            r = streams[2].astype(jnp.int32)
+        from .rct_search import rct_cost_pairs_lanes
+        nh, nv = rp.num_h_slices, rp.num_v_slices
+        return rct_cost_pairs_lanes(
+            self._crops_uniform(b, nh, nv),
+            self._crops_uniform(g, nh, nv),
+            self._crops_uniform(r, nh, nv))
+
+    def _rct_search_device(self, streams):
+        """Run the jitted device search and pick the winning (by, ry)
+        per lane on the host (int64 recombine + first-wins argmin)."""
+        fn = getattr(self, "_rct_fn", None)
+        if fn is None:
+            fn = self._rct_fn = jax.jit(self._rct_pairs)
+        from .rct_search import pick_rct_coefs
+        return pick_rct_coefs(np.asarray(fn(streams)))
+
     def _frame_pipeline(self, streams, states0, lows, ranges, prefixes,
-                        plens, use_pallas=True):
+                        plens, rct=None, use_pallas=True):
         """Fused device pipeline: stencil -> lane scan -> finalize.
 
         ``streams``: tuple of per-plane arrays stacked over the batch —
         each entry either (batch, Hk, Wk) or a tuple of row-band chunks
         of its (batch*Hk, Wk) flattening (chunked-concurrent upload).
+        ``rct``: optional per-lane (by, ry) coefficient arrays (v4 RGB).
         Lane index = stream * n_slices + slice.
         """
         streams = tuple(
@@ -529,7 +626,7 @@ class TPUFFV1Encoder:
             if isinstance(p, tuple) else p
             for p in streams)
         if self.uniform:
-            ctxs, diffs, acts = self._streams_uniform(streams)
+            ctxs, diffs, acts = self._streams_uniform(streams, rct)
         else:
             ctxs = jnp.zeros((self.L, self.n_max), jnp.int32)
             diffs = jnp.zeros((self.L, self.n_max), jnp.int32)
@@ -607,7 +704,8 @@ class TPUFFV1Encoder:
                         rc_encode_pallas_packed(
                             ctxs, diffs, acts, states0, self.one_tab,
                             self.zero_tab, lows, ranges, bits,
-                            self.pallas_chunk)
+                            self.pallas_chunk,
+                            gather=self.pallas_gather)
                 else:
                     from .rc_scan_lanes import rc_encode_scan_lanes_ext
                     prov, valid, low, rng, states_out = \
@@ -626,7 +724,7 @@ class TPUFFV1Encoder:
                 cm, low, rng, states_out = rc_encode_pallas_compact(
                     ctxs, diffs, acts, states0, self.one_tab,
                     self.zero_tab, lows, ranges, bits,
-                    self.pallas_chunk)
+                    self.pallas_chunk, gather=self.pallas_gather)
                 out, counts, overflow = finalize_compact(cm, low, rng,
                                                          prefixes, plens)
                 packed = cm  # placeholder (overflow re-runs on XLA path)
@@ -634,7 +732,7 @@ class TPUFFV1Encoder:
                 packed, low, rng, states_out = rc_encode_pallas_packed(
                     ctxs, diffs, acts, states0, self.one_tab,
                     self.zero_tab, lows, ranges, bits,
-                    self.pallas_chunk)
+                    self.pallas_chunk, gather=self.pallas_gather)
                 if hostcompact:
                     out, counts, overflow = finalize_packed_hostcompact(
                         packed, low, rng, prefixes, plens)
@@ -749,7 +847,16 @@ class TPUFFV1Encoder:
             self.picture_number += 1
             return
 
-        lows, ranges, prefixes, plens = self._prefix_arrays(keyframe)
+        if self.rct_search and (self.fast or self.ext):
+            # v4 searched headers depend on the pixels: built inside
+            # the worker (after upload) from the device search
+            lows = ranges = prefixes = plens = None
+        elif self.rct_search:
+            coefs = self._rct_coefs_host(streams_np)
+            lows, ranges, prefixes, plens = \
+                self._prefix_arrays_rct(keyframe, coefs)
+        else:
+            lows, ranges, prefixes, plens = self._prefix_arrays(keyframe)
 
         if self.fast or self.ext:
             def upload():
@@ -804,53 +911,83 @@ class TPUFFV1Encoder:
                           prefixes, plens)
         self.picture_number += 1
 
+    def _dispatch_staged(self, streams, states0, lows, ranges,
+                         prefixes, plens, rct=None):
+        """Frame-pipeline dispatch with a two-stage kernel fallback.
+
+        Mosaic/compile errors surface synchronously at the first
+        dispatch; kernel support varies across TPU generations and
+        toolchains.  Stage 1 retries the Pallas kernel with the
+        binary-select-tree table lookups (byte-identical; observed on
+        v5e axon: the dynamic_gather lookup form fails non-mesh
+        lowering with "Shape mismatch in input, indices and output"
+        while the tree form compiles) — a lowering quirk of the lookup
+        form must not cost the whole kernel tier.  Stage 2 falls back
+        to the XLA scan path (also byte-identical).  Each stage
+        re-jits _frame_fn so the retry re-traces instead of reusing
+        the cached failing trace; the static use_pallas flag is passed
+        EXPLICITLY so the branch does not depend on when the re-trace
+        reads the instance attribute."""
+        while True:
+            try:
+                return self._frame_fn(
+                    streams, states0, jnp.asarray(lows),
+                    jnp.asarray(ranges), jnp.asarray(prefixes),
+                    jnp.asarray(plens), rct=rct,
+                    use_pallas=self.use_pallas)
+            except Exception as e:
+                if not self.use_pallas:
+                    raise
+                from ..log import WARNING, log
+                if self.pallas_gather is not False:
+                    log(WARNING, "tpu-enc", "Pallas gather-form "
+                        f"lookup failed ({type(e).__name__}: {e}); "
+                        "retrying with select-tree lookups")
+                    self.pallas_gather = False
+                else:
+                    log(WARNING, "tpu-enc", "Pallas kernel failed "
+                        f"({type(e).__name__}: {e}); falling back to "
+                        "the XLA scan path")
+                    self.use_pallas = False
+                self._frame_fn = jax.jit(
+                    self._frame_pipeline,
+                    static_argnames=("use_pallas",))
+
     def _submit_fast(self, up_fut, streams_np, keyframe, lows, ranges,
                      prefixes, plens):
         def work():
             # runs on the single-worker executor: submits are
             # processed strictly in order, so reading/advancing
             # self.states here keeps the GOP context chain intact
+            nonlocal lows, ranges, prefixes, plens
             with phase_timer("tpu-enc", "wait-upload"):
                 streams = up_fut.result()
+            rct = None
+            if self.rct_search:
+                # v4: device candidate search -> (L,) winners on host
+                # -> per-frame slice headers; the RGB pipeline also
+                # consumes the coefficients in its per-slice RCT.
+                # Non-uniform grids (YUV only; RGB requires uniform)
+                # search on the host pixels instead — _crops_uniform
+                # cannot express their geometry
+                with phase_timer("tpu-enc", "rct-search"):
+                    coefs = (self._rct_search_device(streams)
+                             if self.uniform
+                             else self._rct_coefs_host(streams_np))
+                    lows, ranges, prefixes, plens = \
+                        self._prefix_arrays_rct(keyframe, coefs)
+                if self.rgb:
+                    rct = (jnp.asarray([c[0] for c in coefs],
+                                       jnp.int32),
+                           jnp.asarray([c[1] for c in coefs],
+                                       jnp.int32))
             states0 = jnp.full_like(self.states, 128) if keyframe \
                 else self.states
             with phase_timer("tpu-enc", "dispatch"):
-                try:
-                    # the static flag is passed EXPLICITLY so post-
-                    # fallback calls select the XLA trace instead of
-                    # the cached default-True (Pallas) one
-                    (out, counts, states_out, overflow, packed, low,
-                     rng, rowbytes) = self._frame_fn(
-                        streams, states0, jnp.asarray(lows),
-                        jnp.asarray(ranges), jnp.asarray(prefixes),
-                        jnp.asarray(plens), use_pallas=self.use_pallas)
-                except Exception as e:
-                    # Mosaic/compile errors surface synchronously at
-                    # the first dispatch; the XLA scan path is
-                    # byte-identical, so fall back once rather than
-                    # fail the whole run (kernel support varies across
-                    # TPU generations/toolchains).  NOTE: transient
-                    # runtime errors land here too and pay only a perf
-                    # cost (the XLA path is exact) — the original
-                    # error is logged for diagnosis
-                    if not self.use_pallas:
-                        raise
-                    from ..log import WARNING, log
-                    log(WARNING, "tpu-enc", "Pallas kernel failed "
-                        f"({type(e).__name__}: {e}); falling back to "
-                        "the XLA scan path")
-                    self.use_pallas = False
-                    self._frame_fn = jax.jit(
-                        self._frame_pipeline,
-                        static_argnames=("use_pallas",))
-                    # pass the static flag EXPLICITLY: the branch must
-                    # not depend on when the re-trace reads
-                    # self.use_pallas
-                    (out, counts, states_out, overflow, packed, low,
-                     rng, rowbytes) = self._frame_fn(
-                        streams, states0, jnp.asarray(lows),
-                        jnp.asarray(ranges), jnp.asarray(prefixes),
-                        jnp.asarray(plens), use_pallas=False)
+                (out, counts, states_out, overflow, packed, low,
+                 rng, rowbytes) = self._dispatch_staged(
+                    streams, states0, lows, ranges, prefixes, plens,
+                    rct)
             self.states = states_out
             # issue the result transfer NOW, before the next
             # frame's scan is enqueued: device ops run in order, so
@@ -883,20 +1020,33 @@ class TPUFFV1Encoder:
         self._pending.append(self._executor.submit(work))
 
     def _submit_golomb(self, streams_np, keyframe: bool):
-        cache = getattr(self, "_gprefix_cache", None)
-        if cache is None:
-            cache = self._gprefix_cache = {}
-        if keyframe not in cache:
+        if self.rct_search:
+            # v4 searched headers are pixel- and lane-dependent: build
+            # fresh each frame from the host search (non-headline path)
+            coefs = self._rct_coefs_host(streams_np)
             prefixes = np.zeros((self.L, PREFIX_CAP), np.int32)
             plens = np.zeros(self.L, np.int32)
-            for si in range(self.n_slices):
-                pb = self._host_prefix_golomb(si, keyframe)
-                for bi in range(self.batch):
-                    lane = bi * self.n_slices + si
-                    prefixes[lane, :len(pb)] = np.frombuffer(pb, np.uint8)
-                    plens[lane] = len(pb)
-            cache[keyframe] = (prefixes, plens)
-        prefixes, plens = cache[keyframe]
+            for lane in range(self.L):
+                pb = self._host_prefix_golomb(lane % self.n_slices,
+                                              keyframe, coefs[lane])
+                prefixes[lane, :len(pb)] = np.frombuffer(pb, np.uint8)
+                plens[lane] = len(pb)
+        else:
+            cache = getattr(self, "_gprefix_cache", None)
+            if cache is None:
+                cache = self._gprefix_cache = {}
+            if keyframe not in cache:
+                prefixes = np.zeros((self.L, PREFIX_CAP), np.int32)
+                plens = np.zeros(self.L, np.int32)
+                for si in range(self.n_slices):
+                    pb = self._host_prefix_golomb(si, keyframe)
+                    for bi in range(self.batch):
+                        lane = bi * self.n_slices + si
+                        prefixes[lane, :len(pb)] = np.frombuffer(
+                            pb, np.uint8)
+                        plens[lane] = len(pb)
+                cache[keyframe] = (prefixes, plens)
+            prefixes, plens = cache[keyframe]
 
         def upload():
             nplanes = len(streams_np[0])

@@ -392,7 +392,8 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
 
 
 def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
-                 low0, range0, bits: int, chunk: int, compact: bool):
+                 low0, range0, bits: int, chunk: int, compact: bool,
+                 gather=None):
     L, N = ctx.shape
     CC_real = states0.shape[1]
     NB = -(-CC_real // 8)                # 8 context rows per (8,128) tile
@@ -419,9 +420,15 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
     import os as _os
     # the lane-axis dynamic_gather lookups address a (2, 128) row table
     # and are only wired for L <= 128 lanes; larger lane counts use the
-    # (still byte-identical) binary-select tree
-    gather = (_os.environ.get("FFV1_PALLAS_GATHER", "1")
-              not in ("0", "false")) and L <= 128
+    # (still byte-identical) binary-select tree.  ``gather=None`` takes
+    # the env default; callers pass False on the staged retry after a
+    # Mosaic lowering failure of the gather form (observed on v5e axon
+    # for the non-mesh encode: "Shape mismatch in input, indices and
+    # output"), keeping the kernel tier alive via the tree form
+    if gather is None:
+        gather = (_os.environ.get("FFV1_PALLAS_GATHER", "1")
+                  not in ("0", "false"))
+    gather = gather and L <= 128
     # (2, 128) row form: entries 0..127 / 128..255 in the LANE axis for
     # the dynamic_gather lookup (see _kernel.lookup_one); the tree
     # fallback wants the (256, 1) sublane column form
@@ -494,9 +501,10 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
     return prov, low[0], rng[0], states_u8
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "chunk"))
+@functools.partial(jax.jit, static_argnames=("bits", "chunk", "gather"))
 def rc_encode_pallas_packed(ctx, diff, active, states0, one_tab, zero_tab,
-                            low0, range0, bits: int, chunk: int = 512):
+                            low0, range0, bits: int, chunk: int = 512,
+                            gather=None):
     """Pallas lane-major range-coder scan, raw output form.
 
     Returns (packed int32[N, S, L], low[L], range[L], states uint8)
@@ -504,13 +512,13 @@ def rc_encode_pallas_packed(ctx, diff, active, states0, one_tab, zero_tab,
     0..16.  states0 must be uint8 (L, CC, 32).
     """
     return _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
-                        low0, range0, bits, chunk, False)
+                        low0, range0, bits, chunk, False, gather)
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "chunk"))
+@functools.partial(jax.jit, static_argnames=("bits", "chunk", "gather"))
 def rc_encode_pallas_compact(ctx, diff, active, states0, one_tab,
                              zero_tab, low0, range0, bits: int,
-                             chunk: int = 512):
+                             chunk: int = 512, gather=None):
     """Pallas scan with in-kernel per-pixel slot compaction.
 
     Returns (cm int32[N, 8, L], low[L], range[L], states uint8) where
@@ -520,7 +528,7 @@ def rc_encode_pallas_compact(ctx, diff, active, states0, one_tab,
     full-range noise) the caller redoes the frame on the XLA path.
     """
     return _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
-                        low0, range0, bits, chunk, True)
+                        low0, range0, bits, chunk, True, gather)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "chunk"))
