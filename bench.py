@@ -242,6 +242,89 @@ def bench_tpu_device_source(frames, budget_s=600.0):
         frames_per_step=batch, phases=phases)
 
 
+def bench_tpu_scan_only(frames, budget_s=240.0):
+    """Device COMPUTE throughput of the fused encode pipeline: frames
+    start in HBM and the compressed payload is LEFT in HBM — only the
+    (L,) per-slice byte counts cross the link each step.
+
+    This is (a) the sustainable rate of an all-on-device chain (encode
+    feeding a device consumer, as in the transcode path's decode sink)
+    and (b) the headline bound for a locally attached chip, where
+    payload drain rides PCIe at GB/s instead of this dev rig's ~25 MB/s
+    tunnel.  Published NEXT TO the end-to-end device-source number so
+    the link's share of the step is explicit in the artifact (the
+    device-source bench is download-floor-bound on the tunnel).
+    Replaces hot loop ffv1enc.c:271-371 + rangecoder.h:85-102."""
+    import jax
+    import jax.numpy as jnp
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    from tpu_ffv1.codec.params import EncoderParams
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+
+    batch = int(os.environ.get("FFV1_BENCH_BATCH", "5"))
+    enc = TPUFFV1Encoder(EncoderParams(
+        width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
+        slices=24), batch=batch)
+    nstage = len(frames)
+    staged = []
+    for k in range(nstage):
+        streams = [frames[(i + k) % nstage] for i in range(batch)]
+        staged.append(tuple(
+            jnp.asarray(np.stack([s[j] for s in streams]))
+            for j in range(3)))
+    jax.block_until_ready(staged[-1][0])
+    pk = enc._prefix_arrays(True)
+    pnk = enc._prefix_arrays(False)
+    gop = max(enc.rp.gop_size, 1)
+    state = {"s": jnp.full_like(enc.states, 128)}
+
+    def step(k):
+        # runs on the 1-worker executor: strictly in submit order, so
+        # the GOP context chain stays intact (as in _submit_fast)
+        key = k % gop == 0
+        lows, ranges, prefixes, plens = pk if key else pnk
+        s0 = jnp.full_like(state["s"], 128) if key else state["s"]
+        (out, counts, states_out, _ovf, _packed, _low, _rng,
+         _rb) = enc._dispatch_staged(staged[k % nstage], s0, lows,
+                                     ranges, prefixes, plens)
+        state["s"] = states_out
+        return counts
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    t0 = time.time()
+    np.asarray(ex.submit(step, 0).result())   # compile (keyframe)
+    np.asarray(ex.submit(step, 1).result())   # compile (non-key)
+    log(f"scan-only first steps (compile): {time.time() - t0:.1f}s")
+    depth = 2
+    n_steps = int(os.environ.get("FFV1_BENCH_STEPS", "12"))
+    futs = deque()
+    steps = []
+    t0 = time.time()
+    for d in range(depth):
+        futs.append(ex.submit(step, 2 + d))
+    for k in range(2 + depth, 2 + n_steps + depth):
+        np.asarray(futs.popleft().result())   # tiny (L,) counts fetch
+        steps.append(time.time() - t0)
+        t0 = time.time()
+        if k < 2 + n_steps:
+            futs.append(ex.submit(step, k))
+        if sum(steps) > budget_s and not futs:
+            break
+    while futs:
+        np.asarray(futs.popleft().result())
+    ex.shutdown(wait=False)
+    step_ms = sorted(s * 1000 for s in steps)
+    med = step_ms[len(step_ms) // 2]
+    log(f"scan-only steady: median {med:.0f} ms/step, min "
+        f"{step_ms[0]:.0f}, max {step_ms[-1]:.0f} "
+        f"({batch} frames/step, payload resident)")
+    return batch * 1920 * 1080 / (med / 1000) / 1e6, dict(
+        median_ms=round(med, 1), min_ms=round(step_ms[0], 1),
+        max_ms=round(step_ms[-1], 1), n_steps=len(step_ms),
+        frames_per_step=batch, payload_resident=True)
+
+
 def bench_host(frames):
     from tpu_ffv1.codec.encoder import FFV1Encoder
     from tpu_ffv1.codec.params import EncoderParams
@@ -594,6 +677,10 @@ def check_hw_parity():
         ("444p16", dict(pix_fmt="yuv444p16le", level=3, coder=2,
                         slices=4)),
         ("bgr0", dict(pix_fmt="bgr0", level=3, coder=2, slices=4)),
+        # v4: per-slice searched RCT coefficients on device
+        # (tpu/rct_search.py; ffv1enc.c:1064-1144)
+        ("bgr0_v4", dict(pix_fmt="bgr0", level=4, strict=-2, coder=2,
+                         slices=4, gop_size=2)),
     ]
     def case_frames(pix_fmt):
         if pix_fmt == "bgr0":
@@ -619,13 +706,18 @@ def check_hw_parity():
             pkt, kf = dev.encode_frame(f)
             ok &= (pkt == ref[fi][0] and kf == ref[fi][1])
         results[f"encode_{label}"] = ok
-        if label == "444p16":
-            # did the ext-schedule Pallas kernel actually run (False
-            # means the one-shot compile-failure fallback fired and the
-            # XLA ext scan produced these bytes)
-            results["encode_444p16_pallas_active"] = bool(dev.use_pallas)
+        # Pallas provenance for EVERY case — a silent fallback to the
+        # (byte-identical) XLA scan must be visible in the artifact:
+        # round 4 found the gather-form lookup failing Mosaic lowering
+        # for months behind exactly this blind spot.  lookup says which
+        # form produced the bytes: gather, tree, or xla
+        results[f"encode_{label}_pallas_active"] = bool(dev.use_pallas)
+        results[f"encode_{label}_lookup"] = (
+            "xla" if not dev.use_pallas else
+            "tree" if dev.pallas_gather is False else "gather")
         ok_all &= ok
-        log(f"hw-check encode {label}: {'PASS' if ok else 'FAIL'}")
+        log(f"hw-check encode {label}: {'PASS' if ok else 'FAIL'} "
+            f"(lookup={results[f'encode_{label}_lookup']})")
 
     # shard_map + Pallas on a real 1-device mesh: the combination a
     # real pod would run (CPU-mesh tests force the XLA scan, so this is
@@ -920,12 +1012,19 @@ def main():
         log("tpu unavailable; reporting host path")
         mpix = bench_host(frames)
     dev_mpix = dev_stats = None
+    scan_mpix = scan_stats = None
     if have_dev:
         try:
             dev_mpix, dev_stats = bench_tpu_device_source(frames)
             log(f"tpu device-source: {dev_mpix:.2f} Mpixel/s")
         except Exception as e:
             log(f"device-source bench failed ({e})")
+        try:
+            scan_mpix, scan_stats = bench_tpu_scan_only(frames)
+            log(f"tpu scan-only (payload in HBM): "
+                f"{scan_mpix:.2f} Mpixel/s")
+        except Exception as e:
+            log(f"scan-only bench failed ({e})")
     dec_mpix = dec_stats = None
     sink_mpix = sink_stats = None
     if os.environ.get("FFV1_BENCH_SKIP_DECODE", "0") not in ("1", "true"):
@@ -1025,6 +1124,9 @@ def main():
         out["host_source_e2e_mpix_s"] = round(mpix, 3)
     if dev_stats is not None:
         out["device_source_steps"] = dev_stats
+    if scan_mpix is not None:
+        out["encode_scan_only_mpix_s"] = round(scan_mpix, 3)
+        out["encode_scan_only_steps"] = scan_stats
     if link is not None:
         out["link_up_mb_s"] = round(link[0], 1)
         out["link_down_mb_s"] = round(link[1], 1)

@@ -369,6 +369,8 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
                                     f"({type(e).__name__}); retrying "
                                     "with select-tree lookups")
                                 self.pallas_gather = False
+                                from ..tpu import encoder as _enc
+                                _enc._GATHER_LOWERING_BROKEN = True
                             else:
                                 log(WARNING, "tpu-penc", "Pallas "
                                     f"kernel failed ({type(e).__name__}"

@@ -179,6 +179,10 @@ class TPUFFV1Decoder:
         self.use_pallas = (_jax.devices()[0].platform != "cpu"
                            and (self.coded_bits <= 10 or
                                 (ext_ok and self.coded_bits <= 17)))
+        # Pallas lookup form: None = env default (gather); flipped to
+        # False by the staged dispatch retry when the gather form fails
+        # Mosaic lowering (the select-tree form is byte-identical)
+        self.pallas_gather = None
 
         if self.golomb and not self.uniform:
             raise NotImplementedError(
@@ -462,27 +466,51 @@ class TPUFFV1Decoder:
                             jnp.asarray(ranges), jnp.asarray(poss), specs,
                             self.bits, five, use_pallas=False)
             elif self.use_pallas:
-                try:
-                    planes_dev, states_out, low, rng, pos = \
-                        rc_decode_planes_pallas(
-                            db, states0, self.one_tab, self.zero_tab,
-                            qt, jnp.asarray(lows), jnp.asarray(ranges),
-                            jnp.asarray(poss), specs, self.bits, five)
-                except Exception as e:
-                    # Mosaic/compile errors surface at first dispatch;
-                    # the XLA lane scan is byte-identical — fall back
-                    # once instead of failing the run (transient
-                    # runtime errors land here too; original logged)
-                    from ..log import WARNING, log
-                    log(WARNING, "tpu-dec", "Pallas decode kernel "
-                        f"failed ({type(e).__name__}: {e}); falling "
-                        "back to the XLA scan path")
-                    self.use_pallas = False
-                    planes_dev, states_out, low, rng, pos = \
-                        rc_decode_planes_lanes(
-                            db, states0, self.one_tab, self.zero_tab,
-                            qt, jnp.asarray(lows), jnp.asarray(ranges),
-                            jnp.asarray(poss), specs, self.bits, five)
+                # staged fallback, as in the encoder's _dispatch_staged:
+                # Mosaic/compile errors surface at first dispatch; retry
+                # the byte-identical select-tree lookup form before
+                # dropping to the (also byte-identical) XLA lane scan —
+                # a lowering quirk of the gather form must not cost the
+                # kernel tier (transient runtime errors land here too;
+                # the original error is logged)
+                from ..log import WARNING, log
+                while True:
+                    try:
+                        if self.use_pallas:
+                            planes_dev, states_out, low, rng, pos = \
+                                rc_decode_planes_pallas(
+                                    db, states0, self.one_tab,
+                                    self.zero_tab, qt,
+                                    jnp.asarray(lows),
+                                    jnp.asarray(ranges),
+                                    jnp.asarray(poss), specs,
+                                    self.bits, five,
+                                    gather=self.pallas_gather)
+                        else:
+                            planes_dev, states_out, low, rng, pos = \
+                                rc_decode_planes_lanes(
+                                    db, states0, self.one_tab,
+                                    self.zero_tab, qt,
+                                    jnp.asarray(lows),
+                                    jnp.asarray(ranges),
+                                    jnp.asarray(poss), specs,
+                                    self.bits, five)
+                        break
+                    except Exception as e:
+                        if not self.use_pallas:
+                            raise
+                        if self.pallas_gather is not False:
+                            log(WARNING, "tpu-dec", "Pallas gather-"
+                                "form lookup failed "
+                                f"({type(e).__name__}: {e}); retrying "
+                                "with select-tree lookups")
+                            self.pallas_gather = False
+                        else:
+                            log(WARNING, "tpu-dec", "Pallas decode "
+                                f"kernel failed ({type(e).__name__}: "
+                                f"{e}); falling back to the XLA scan "
+                                "path")
+                            self.use_pallas = False
             else:
                 planes_dev, states_out, low, rng, pos = \
                     rc_decode_planes_lanes(

@@ -47,6 +47,12 @@ from .rc_pallas import rc_encode_pallas_compact, rc_encode_pallas_packed
 
 PREFIX_CAP = 96
 
+# process-wide memo: once the gather-form Pallas lookup fails Mosaic
+# lowering (toolchain-dependent), later encoder instances start on the
+# byte-identical select-tree form instead of re-paying the doomed
+# compile (~30-60 s of first-step latency per instance)
+_GATHER_LOWERING_BROKEN = False
+
 
 class TPUFFV1Encoder:
     """Device-resident FFV1 encoder (version 3, range coder).
@@ -143,7 +149,7 @@ class TPUFFV1Encoder:
         # Pallas lookup form: None = env default (gather); set to
         # False by the staged dispatch fallback when the gather form
         # fails Mosaic lowering (the select-tree form is byte-identical)
-        self.pallas_gather = None
+        self.pallas_gather = False if _GATHER_LOWERING_BROKEN else None
         # lane-major device state tables, persisted across frames
         self.states = jnp.full((self.L, self.total_cc, 32), 128,
                                dtype=jnp.uint8)
@@ -944,6 +950,8 @@ class TPUFFV1Encoder:
                         f"lookup failed ({type(e).__name__}: {e}); "
                         "retrying with select-tree lookups")
                     self.pallas_gather = False
+                    global _GATHER_LOWERING_BROKEN
+                    _GATHER_LOWERING_BROKEN = True
                 else:
                     log(WARNING, "tpu-enc", "Pallas kernel failed "
                         f"({type(e).__name__}: {e}); falling back to "

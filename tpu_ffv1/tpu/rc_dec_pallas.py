@@ -458,7 +458,8 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide, gather,
 
 
 def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2, qt3, qt4,
-                    low, rng, pos, w, h, pbase, bits, L, CC, five):
+                    low, rng, pos, w, h, pbase, bits, L, CC, five,
+                    gather=None):
     Wpad = -(-w // 8) * 8
     capw = bufw.shape[0]
     import os as _os
@@ -468,8 +469,10 @@ def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2, qt3, qt4,
     # The HBM-staged states IO is kept (pure VMEM win); wide is opt-in.
     wide = _os.environ.get("FFV1_PALLAS_DEC_WIDE", "0") \
         not in ("0", "false")
-    gather = (_os.environ.get("FFV1_PALLAS_GATHER", "1")
-              not in ("0", "false")) and L <= 128
+    if gather is None:
+        gather = (_os.environ.get("FFV1_PALLAS_GATHER", "1")
+                  not in ("0", "false"))
+    gather = gather and L <= 128
     SCH = next(c for c in (8, 4, 2, 1) if L % c == 0)
     kernel = functools.partial(_kernel, bits, L, w, h, Wpad, capw, pbase,
                                five, wide, gather)
@@ -519,10 +522,12 @@ def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2, qt3, qt4,
 
 
 @functools.partial(jax.jit,
-                    static_argnames=("plane_specs", "bits", "five"))
+                    static_argnames=("plane_specs", "bits", "five",
+                                     "gather"))
 def rc_decode_planes_pallas(bufs, states, one_tab, zero_tab, qt,
                             low0, range0, pos0, plane_specs: tuple,
-                            bits: int, five: bool = False):
+                            bits: int, five: bool = False,
+                            gather=None):
     """Decode all planes of L parallel slice streams (Pallas kernel).
 
     Same contract as dec_scan_lanes.rc_decode_planes_lanes; ``five``
@@ -547,8 +552,12 @@ def rc_decode_planes_pallas(bufs, states, one_tab, zero_tab, qt,
     # (2, 128) row form for the lane-gather lookups (see tree());
     # (256, 1) sublane column form for the tree fallback
     import os as _os
-    gather = (_os.environ.get("FFV1_PALLAS_GATHER", "1")
-              not in ("0", "false")) and L <= 128
+    # gather=None takes the env default; False selects the tree form
+    # (staged lowering-failure retry, see tpu/encoder._dispatch_staged)
+    if gather is None:
+        gather = (_os.environ.get("FFV1_PALLAS_GATHER", "1")
+                  not in ("0", "false"))
+    gather = gather and L <= 128
     shp = (2, 128) if gather else (256, 1)
     t1 = one_tab.astype(jnp.int32).reshape(shp)
     del zero_tab   # derived via the single-table identity
@@ -566,7 +575,7 @@ def rc_decode_planes_pallas(bufs, states, one_tab, zero_tab, qt,
     for (w, h, pbase) in plane_specs:
         out, low, rng, pos, sp = _dec_plane_call(
             bufw, sp, t1, qt0, qt1, qt2, qt3, qt4, low, rng, pos,
-            w, h, pbase, bits, L, CC, five)
+            w, h, pbase, bits, L, CC, five, gather)
         planes.append(jnp.moveaxis(out[:, :w, :], 2, 0))   # (L, h, w)
     states_out = sp[:, :CC_real, :32].astype(jnp.uint8)
     return tuple(planes), states_out, low[0], rng[0], pos[0]
