@@ -200,8 +200,10 @@ class TPUFFV1Encoder:
                 "form)")
             self.pallas_compact = False
         # per-chunk VMEM windows scale with lane count; keep them
-        # bounded and 8-divisible (Pallas block-shape requirement)
-        self.pallas_chunk = max(48, (216 // batch) // 8 * 8)
+        # bounded and 8-divisible (Pallas block-shape requirement).
+        # FFV1_PALLAS_CHUNK overrides for ablation sweeps.
+        self.pallas_chunk = int(os.environ.get(
+            "FFV1_PALLAS_CHUNK", max(48, (216 // batch) // 8 * 8)))
         self.stream_lens = [self._stream_len(g) for g in self.geoms]
         pad = self.pallas_chunk * self.unroll
         self.n_max = -(-max(self.stream_lens) // pad) * pad
