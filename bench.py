@@ -346,7 +346,8 @@ def bench_tpu_decode(frames, budget_s=600.0):
     from tpu_ffv1.codec.params import EncoderParams
     from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
 
-    batch = int(os.environ.get("FFV1_BENCH_BATCH", "5"))
+    batch = int(os.environ.get("FFV1_BENCH_DEC_BATCH",
+                            os.environ.get("FFV1_BENCH_BATCH", "8")))
 
     def mk_enc():
         return FFV1Encoder(EncoderParams(
@@ -404,7 +405,8 @@ def bench_tpu_decode_sink(frames, budget_s=400.0):
     from tpu_ffv1.codec.params import EncoderParams
     from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
 
-    batch = int(os.environ.get("FFV1_BENCH_BATCH", "5"))
+    batch = int(os.environ.get("FFV1_BENCH_DEC_BATCH",
+                            os.environ.get("FFV1_BENCH_BATCH", "8")))
 
     def mk_enc():
         return FFV1Encoder(EncoderParams(

@@ -377,7 +377,20 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
         rngv[pl.ds(0, 1), :] = rng
         return 0
 
-    jax.lax.fori_loop(0, CH, pixel, 0)
+    # FFV1_PALLAS_UNROLL replicates the pixel body per loop iteration to
+    # amortize Mosaic's loop control; the body is serial either way (the
+    # adaptive coder chains pixel to pixel), so this is pure
+    # instruction-overhead ablation (default 1 = no unroll)
+    import os as _os2
+    _unroll = int(_os2.environ.get("FFV1_PALLAS_UNROLL", "1"))
+    if _unroll > 1 and CH % _unroll == 0:
+        def pixels(j, c):
+            for u in range(_unroll):
+                pixel(j * _unroll + u, c)
+            return 0
+        jax.lax.fori_loop(0, CH // _unroll, pixels, 0)
+    else:
+        jax.lax.fori_loop(0, CH, pixel, 0)
 
     @pl.when(step == nsteps - 1)
     def _fin():
