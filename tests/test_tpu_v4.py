@@ -134,6 +134,51 @@ def test_v4_rct_roundtrip_device_decode():
             assert np.array_equal(got[..., ch], f[..., ch]), (i, ch)
 
 
+def test_v4_device_source_submit():
+    """v4 on the device-source path: planes staged in HBM, searched
+    RCT headers built from the on-device search, bytes identical to
+    the host engine (submit_device_frames no longer gates v4)."""
+    import jax.numpy as jnp
+
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv444p16le",
+                           level=4, strict=-2, coder=2, slices=4,
+                           gop_size=2)
+    frames = _planar_frames(3, 16)
+    host = FFV1Encoder(params)
+    ref = [host.encode_frame(f) for f in frames]
+    dev = TPUFFV1Encoder(params)
+    for fi, f in enumerate(frames):
+        staged = tuple(jnp.asarray(np.stack([p])) for p in f)
+        dev.submit_device_frames(staged)
+        (pkt, kf), = dev.collect_frames()
+        assert (pkt, kf) == ref[fi], fi
+
+
+def test_v4_device_source_pcm_retry():
+    """Device-source v4 overflow: 16-bit noise trips the reference's
+    per-line budget check and every slice retries as PCM — the retry
+    must fetch the stream's planes back from HBM and stay decodable
+    (ffv1enc.c:1207-1217; decoder context reset ffv1dec.c:419-420)."""
+    import jax.numpy as jnp
+    from tpu_ffv1.codec.decoder import FFV1Decoder as HostDecoder
+
+    Wd, Hd = 1024, 4
+    rng = np.random.RandomState(2)
+    frames = [[rng.randint(0, 65536, (Hd, Wd)).astype(np.uint16)
+               for _ in range(3)] for _ in range(2)]
+    enc = TPUFFV1Encoder(EncoderParams(
+        width=Wd, height=Hd, pix_fmt="yuv444p16le", level=4, strict=-2,
+        coder=2, slices=4, gop_size=2))
+    dec = HostDecoder(Wd, Hd, enc.extradata)
+    for fi, f in enumerate(frames):
+        staged = tuple(jnp.asarray(np.stack([p])) for p in f)
+        enc.submit_device_frames(staged)
+        (pkt, _kf), = enc.collect_frames()
+        out, _ = dec.decode_frame(pkt)
+        for a, b in zip(out, f):
+            assert np.array_equal(np.asarray(a), b), fi
+
+
 def test_rct_search_device_matches_host_picker():
     """The split-accumulator device sums must reproduce the host
     search bit-for-bit on adversarial content (large second

@@ -54,20 +54,84 @@ def _tent_indices(H, W, by, bx):
     return ty, wy1, tx, wx1
 
 
-def obmc_predict_dev(ref_pad, mvs, intra, mid: int, by: int, bx: int):
+def obmc_predict_dev(ref_pad, mvs, intra, mid: int, by: int, bx: int,
+                     bounds=None):
     """Device OBMC: blend the 2x2 nearest block-center MC predictions
     with exact-integer bilinear tent weights (partition of unity,
     sum = 4*by*bx).  ``ref_pad``: (L, H, W) int32; ``mvs``: (L, bh, bw,
     2); ``intra``: (L, bh, bw) bool.  Byte-exact vs the numpy
-    obmc_predict (pframe/codec.py:79-117)."""
+    obmc_predict (pframe/codec.py:79-117).
+
+    ``bounds`` = ((ylo, yhi), (xlo, xhi)) inclusive MV component ranges
+    when the caller can bound them (the encoder: its own search radius).
+    With bounds, the per-pixel 2D gathers — the P pipeline's measured
+    hot spot on TPU (384 of 698 ms at 720p batch 5; dynamic gathers
+    serialize on the VPU) — are replaced by a dense one-hot masked sum
+    over the (ny*nx) static edge-clamped shifts of ref, with the block
+    fields expanded by repeat + static slice instead of gathers.  All
+    int32 adds, so the result is bit-identical to the gather form.
+    Callers that cannot bound the MVs (the decoder: the stream's
+    encoder may have used any radius) pass bounds=None and keep the
+    gather form."""
     L, H, W = ref_pad.shape
     bh, bw = H // by, W // bx
     ty, wy1, tx, wx1 = _tent_indices(H, W, by, bx)
-    yy = jnp.arange(H)[None, :, None]
-    xx = jnp.arange(W)[None, None, :]
     # weights sum to 4*by*bx <= 1024 and samples < 2^17, so the
     # accumulator fits int32 comfortably (host obmc_predict uses int64
     # out of caution; values are identical)
+    shift = 2 + (by - 1).bit_length() + (bx - 1).bit_length()
+
+    if bounds is not None:
+        (ylo, yhi), (xlo, xhi) = bounds
+        ny, nx = yhi - ylo + 1, xhi - xlo + 1
+        # block fields at pixel resolution WITHOUT gathers: edge-pad the
+        # block grid by one, upsample by repeat, then each 2x2 tap is a
+        # pure static slice — clip(ty + dy, 0, bh-1) of the unpadded
+        # grid equals index ty + dy + 1 of the padded one, and
+        # (ty(y) + 1 + dy) * by + const = y + by//2 + dy*by row-exactly
+        # (ty = floor((2y + 1 - by) / 2by))
+        def expand(field):
+            f = jnp.pad(field, ((0, 0), (1, 1), (1, 1)) +
+                        ((0, 0),) * (field.ndim - 3), mode="edge")
+            return jnp.repeat(jnp.repeat(f, by, axis=1), bx, axis=2)
+
+        mvs_e = expand(mvs)
+        intra_e = expand(intra.astype(jnp.int32))
+        idx_taps, w_taps = [], []
+        for dy in (0, 1):
+            wy = np.where(dy == 0, 2 * by - wy1, wy1)[None, :, None]
+            oy = by // 2 + dy * by
+            for dx in (0, 1):
+                wx = np.where(dx == 0, 2 * bx - wx1, wx1)[None, None, :]
+                ox = bx // 2 + dx * bx
+                mvb = mvs_e[:, oy:oy + H, ox:ox + W]
+                inb = intra_e[:, oy:oy + H, ox:ox + W]
+                # candidate index in [0, ny*nx); intra taps get -1 so
+                # no candidate matches (their weight lands on mid)
+                idx = ((mvb[..., 0] - ylo) * nx +
+                       (mvb[..., 1] - xlo))
+                idx = jnp.where(inb > 0, -1, idx)
+                idx_taps.append(idx)
+                w_taps.append(np.asarray(wy * wx, np.int32))
+        idx_s = jnp.stack(idx_taps)                       # (4, L, H, W)
+        # w_taps entries are (1, H, W) numpy consts -> (4, 1, H, W)
+        w_s = jnp.asarray(np.stack(w_taps))
+        intra_w = (jnp.stack([(i < 0).astype(jnp.int32)
+                              for i in idx_taps]) * w_s).sum(0)
+        acc = intra_w * jnp.int32(mid)
+        # edge-clamped static shifts: one pad, then pure slices
+        rp_ = jnp.pad(ref_pad, ((0, 0), (-ylo, yhi), (-xlo, xhi)),
+                      mode="edge")
+        for u in range(ylo, yhi + 1):
+            for v in range(xlo, xhi + 1):
+                c = (u - ylo) * nx + (v - xlo)
+                w_c = ((idx_s == c).astype(jnp.int32) * w_s).sum(0)
+                sh = rp_[:, u - ylo:u - ylo + H, v - xlo:v - xlo + W]
+                acc = acc + w_c * sh
+        return ((acc + (1 << (shift - 1))) >> shift).astype(jnp.int32)
+
+    yy = jnp.arange(H)[None, :, None]
+    xx = jnp.arange(W)[None, None, :]
     acc = jnp.zeros((L, H, W), jnp.int32)
     for dy in (0, 1):
         iy = np.clip(ty + dy, 0, bh - 1)
@@ -83,7 +147,6 @@ def obmc_predict_dev(ref_pad, mvs, intra, mid: int, by: int, bx: int):
             p = jax.vmap(lambda r, a, b: r[a, b])(ref_pad, ys, xs)
             p = jnp.where(inb, mid, p)
             acc = acc + jnp.asarray(wy * wx, jnp.int32) * p
-    shift = 2 + (by - 1).bit_length() + (bx - 1).bit_length()
     return ((acc + (1 << (shift - 1))) >> shift).astype(jnp.int32)
 
 
@@ -230,7 +293,12 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
         offset = 1 << bits
         parts_ctx, parts_diff = [], []
 
-        def add(cur_stack, ref_stack, blk, pmvs, state_plane):
+        import os as _os
+        onehot = _os.environ.get("FFV1_OBMC_ONEHOT", "1") \
+            not in ("0", "false")
+
+        def add(cur_stack, ref_stack, blk, pmvs, state_plane,
+                bounds=None):
             by, bx = blk
             cur = self._crops(cur_stack.astype(jnp.int32))
             ref = self._crops(ref_stack.astype(jnp.int32))
@@ -238,7 +306,8 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
             ph, pw = (-h) % by, (-w) % bx
             cur_p = _pad_edge(cur, ph, pw)
             ref_p = _pad_edge(ref, ph, pw)
-            pred = obmc_predict_dev(ref_p, pmvs, intra, mid, by, bx)
+            pred = obmc_predict_dev(ref_p, pmvs, intra, mid, by, bx,
+                                    bounds if onehot else None)
             res = cur_p[:, :h, :w] - pred[:, :h, :w] + offset
             s = load_plane(res, self.p_bits, True)
 
@@ -252,16 +321,19 @@ class TPUFFV1PEncoder(TPUFFV1Encoder):
             parts_ctx.append(c + state_plane * self.cc)
             parts_diff.append(d)
 
-        add(streams[0], refs[0], (BLOCK, BLOCK), mvs, 0)
+        r = self.radius
+        lb = ((-r, r), (-r, r))       # search clips MVs to the radius
+        add(streams[0], refs[0], (BLOCK, BLOCK), mvs, 0, bounds=lb)
         if rp.chroma_planes:
             hs, vs = rp.chroma_h_shift, rp.chroma_v_shift
             cblk = (max(BLOCK >> vs, 2), max(BLOCK >> hs, 2))
             cmvs = jnp.stack([mvs[..., 0] >> vs, mvs[..., 1] >> hs], -1)
-            add(streams[1], refs[1], cblk, cmvs, 1)
-            add(streams[2], refs[2], cblk, cmvs, 1)
+            cb = (((-r) >> vs, r >> vs), ((-r) >> hs, r >> hs))
+            add(streams[1], refs[1], cblk, cmvs, 1, bounds=cb)
+            add(streams[2], refs[2], cblk, cmvs, 1, bounds=cb)
         if rp.transparency:
             add(streams[-1], refs[-1], (BLOCK, BLOCK), mvs,
-                2 if rp.chroma_planes else 1)
+                2 if rp.chroma_planes else 1, bounds=lb)
         return jnp.concatenate(parts_ctx, 1), jnp.concatenate(parts_diff, 1)
 
     def _frame_pipeline_p(self, streams, refs, prev_mvs, states0, lows,

@@ -899,19 +899,25 @@ class TPUFFV1Encoder:
         device — the output of a device filtergraph stage, a decode
         step, or any other on-device producer.  The host->device plane
         upload is skipped entirely; only the compressed payload crosses
-        the link.  v4's PCM retry re-encodes from host pixels, so this
-        path requires version <= 3 (the range/Golomb device paths)."""
-        if self.rp.version > 3:
-            raise NotImplementedError(
-                "device-source submit needs version <= 3 (v4 PCM "
-                "retry re-encodes from host pixels)")
+        the link.  v4 runs fully device-side too: the RCT search reads
+        the staged planes (uniform grids), and the rare PCM overflow
+        retry fetches the failing stream's planes back from HBM."""
         if self.golomb or not (self.fast or self.ext):
             raise NotImplementedError(
                 "device-source submit requires the fused device "
                 "pipeline (range coder, uniform geometry)")
+        if self.rct_search and not self.uniform:
+            raise NotImplementedError(
+                "device-source v4 search needs a uniform slice grid "
+                "(the non-uniform search reads host pixels)")
         keyframe = (self.rp.gop_size == 0 or
                     self.picture_number % self.rp.gop_size == 0)
-        lows, ranges, prefixes, plens = self._prefix_arrays(keyframe)
+        if self.rct_search:
+            # built inside the worker from the on-device search
+            lows = ranges = prefixes = plens = None
+        else:
+            lows, ranges, prefixes, plens = \
+                self._prefix_arrays(keyframe)
         from concurrent.futures import Future
         up_fut = Future()
         up_fut.set_result(tuple(planes))
@@ -1211,10 +1217,21 @@ class TPUFFV1Encoder:
                     out_np = np.concatenate([slab[:, 5:], tail], axis=1)
             payloads = [bytes(out_np[li, :counts_np[li]])
                         for li in range(self.L)]
+            fetched_streams = {}
             for li in pcm_lanes:
                 bi, si = divmod(li, self.n_slices)
+                if p["streams_np"] is not None:
+                    planes_np = p["streams_np"][bi]
+                else:
+                    # device-source submit: the planes live in HBM —
+                    # fetch the failing STREAM's planes once (PCM retry
+                    # is the rare overflow path, ffv1enc.c:1207-1217)
+                    if bi not in fetched_streams:
+                        fetched_streams[bi] = tuple(
+                            np.asarray(pl[bi]) for pl in p["streams"])
+                    planes_np = fetched_streams[bi]
                 payloads[li] = self._encode_slice_pcm(
-                    si, p["streams_np"][bi], keyframe)
+                    si, planes_np, keyframe)
                 # a PCM slice header carries slice_reset_contexts=1 and
                 # clears contexts on both sides (ffv1enc.c:1054-1056,
                 # ffv1dec.c:419-420)
