@@ -493,7 +493,7 @@ def bench_16bit_archival(budget_s=400.0):
     from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
 
     W, H = 960, 540     # quarter-1080p keeps the ext-scan step sane
-    batch = int(os.environ.get("FFV1_BENCH_BATCH16", "2"))
+    batch = int(os.environ.get("FFV1_BENCH_BATCH16", "4"))
     rng = np.random.RandomState(3)
     base = (np.add.outer(np.arange(H), np.arange(W)) * 257 % 65536)
     frames = []
