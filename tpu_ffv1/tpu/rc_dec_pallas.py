@@ -84,20 +84,27 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide, gather,
         .astype(jnp.float32)
 
     def tree(tab_ref, idx):
-        """tab[idx] for (1, L) idx in [0, 255]: two lane-dimension
-        dynamic_gathers over the (2, 128) row-form table + an
-        arithmetic select on the high bit (~5 VPU ops vs ~40 for the
-        round-2 sublane binary-select tree, kept below as the
-        FFV1_PALLAS_GATHER=0 fallback; the table is shared across
-        lanes, so its entries live in the LANE axis — see
-        rc_pallas.lookup_one)."""
+        """tab[idx] for (1, L) idx in [0, 255]: one lane-dimension
+        dynamic_gather over the row-form table + an arithmetic select
+        on the high bit (~7 VPU ops vs ~100 for the round-2 sublane
+        binary-select tree, kept below as the FFV1_PALLAS_GATHER=0
+        fallback; the table is shared across lanes, so its entries
+        live in the LANE axis — see rc_pallas.lookup_one).
+
+        Mosaic rejects dynamic_gather on 1-sublane operands ("Shape
+        mismatch in input, indices and output" — the round-3/4 'gather
+        broken' regression; scripts/probes/gather_probe4.py), so the
+        (2, 128) lo/hi table tiles to (8, 128) and ONE legal 8-sublane
+        gather yields both halves."""
         if gather:
+            t8 = jnp.concatenate([tab_ref[...]] * 4, axis=0)  # (8, 128)
             i7 = idx & 127
             if L != 128:
                 i7 = jnp.concatenate(
                     [i7, jnp.zeros((1, 128 - L), jnp.int32)], axis=1)
-            g_lo = jnp.take_along_axis(tab_ref[0:1, :], i7, axis=1)
-            g_hi = jnp.take_along_axis(tab_ref[1:2, :], i7, axis=1)
+            g = jnp.take_along_axis(
+                t8, jnp.broadcast_to(i7, (8, 128)), axis=1)
+            g_lo, g_hi = g[0:1, :], g[1:2, :]
             if L != 128:
                 g_lo = g_lo[:, :L]
                 g_hi = g_hi[:, :L]

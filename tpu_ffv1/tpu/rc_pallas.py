@@ -93,22 +93,29 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
     def lookup_one(idx):
         """one_tab[idx] for idx (1, L) int32 in [0, 255] -> (1, L) int32.
 
-        The table is SHARED across lanes, so a 256-entry lookup is two
-        lane-dimension dynamic_gathers (tpu.dynamic_gather, dims=[1]:
-        y[s,j] = x[s, idx[s,j]] — table entries sit in the LANE axis of
-        a (1, 128) row, data lanes index it) + one arithmetic select on
-        the high index bit.  ~5 VPU ops, vs ~40 for the round-2
-        binary-select tree over a (256, 1) sublane table (kept as the
-        FFV1_PALLAS_GATHER=0 fallback: dim-1 int32 gather is probed
-        green on v5e at (8,128)/(32,128) but Mosaic support varies by
-        shape/backend)."""
+        The table is SHARED across lanes, so a 256-entry lookup is one
+        lane-dimension dynamic_gather (tpu.dynamic_gather, dims=[1]:
+        y[s,j] = x[s, idx[s,j]] — table entries sit in the LANE axis,
+        data lanes index it) + one arithmetic select on the high index
+        bit.  ~7 VPU ops, vs ~100 for the round-2 binary-select tree
+        over a (256, 1) sublane table (kept as the FFV1_PALLAS_GATHER=0
+        fallback).
+
+        Mosaic requires the gather operands to span >= 2 sublanes —
+        a (1, 128) take_along_axis fails lowering with "Shape mismatch
+        in input, indices and output" (the round-3/4 'gather broken'
+        regression was exactly this; scripts/probes/gather_probe4.py).
+        The lo/hi table halves tile the sublane axis ([lo, hi] x 4 ->
+        (8, 128)) so ONE legal 8-sublane gather yields both."""
         if gather:
+            t18 = jnp.concatenate([t1_ref[...]] * 4, axis=0)  # (8, 128)
             i7 = idx & 127
             if L != 128:
                 i7 = jnp.concatenate(
                     [i7, jnp.zeros((1, 128 - L), jnp.int32)], axis=1)
-            g_lo = jnp.take_along_axis(t1_ref[0:1, :], i7, axis=1)
-            g_hi = jnp.take_along_axis(t1_ref[1:2, :], i7, axis=1)
+            g = jnp.take_along_axis(
+                t18, jnp.broadcast_to(i7, (8, 128)), axis=1)
+            g_lo, g_hi = g[0:1, :], g[1:2, :]
             if L != 128:
                 g_lo = g_lo[:, :L]
                 g_hi = g_hi[:, :L]
@@ -218,20 +225,52 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
             # per-position transitions (independent of the low/range
             # chain: state indices touched within a pixel are pairwise
             # distinct)
-            news = {p: transition(rowsT[p:p + 1, :], bitT[p:p + 1, :])
-                    for p in order}
-            new_sign = transition(s_sign, sign_bit)
+            if gather:
+                # ALL adapted rows in ONE batched (32, L) lookup: actT
+                # is exact on every row (exp rows past e_max+1 and man
+                # row 31 are provably inactive at bits <= 10, |v| <
+                # 2^bits), and the sign rows 11..21 are disjoint from
+                # the static order — so one act/bit/idx matrix covers
+                # the whole table update.  Two (32, 128) dim-1 gathers
+                # replace the ~18 per-slot select-trees that dominated
+                # the tree-form kernel (~60% of per-pixel time on v5e).
+                b32 = jnp.where(signsel,
+                                jnp.broadcast_to(sign_bit, (32, L)), bitT)
+                act32 = actT | (signsel & sign_act)
+                idx32 = jnp.where(b32 == 1, rowsT, (256 - rowsT) & 0xFF)
+                i7 = idx32 & 127
+                if L != 128:
+                    i7 = jnp.concatenate(
+                        [i7, jnp.zeros((32, 128 - L), jnp.int32)], axis=1)
+                g_lo = jnp.take_along_axis(
+                    jnp.broadcast_to(t1_ref[0:1, :], (32, 128)), i7,
+                    axis=1)
+                g_hi = jnp.take_along_axis(
+                    jnp.broadcast_to(t1_ref[1:2, :], (32, 128)), i7,
+                    axis=1)
+                if L != 128:
+                    g_lo = g_lo[:, :L]
+                    g_hi = g_hi[:, :L]
+                t32 = g_lo + (g_hi - g_lo) * ((idx32 >> 7) & 1)
+                n32 = jnp.where(b32 == 1, t32, (256 - t32) & 0xFF)
+                new_rowsT = jnp.where(act32, n32, rowsT)
+            else:
+                news = {p: transition(rowsT[p:p + 1, :], bitT[p:p + 1, :])
+                        for p in order}
+                new_sign = transition(s_sign, sign_bit)
 
-            base = jnp.where(signsel & sign_act,
-                             jnp.broadcast_to(new_sign, (32, L)), rowsT)
-            rows_new = []
-            for p in range(32):
-                if p in news:
-                    rows_new.append(jnp.where(actT[p:p + 1, :], news[p],
-                                              base[p:p + 1, :]))
-                else:
-                    rows_new.append(base[p:p + 1, :])
-            new_rowsT = jnp.concatenate(rows_new, 0)     # (32, L) int32
+                base = jnp.where(signsel & sign_act,
+                                 jnp.broadcast_to(new_sign, (32, L)),
+                                 rowsT)
+                rows_new = []
+                for p in range(32):
+                    if p in news:
+                        rows_new.append(
+                            jnp.where(actT[p:p + 1, :], news[p],
+                                      base[p:p + 1, :]))
+                    else:
+                        rows_new.append(base[p:p + 1, :])
+                new_rowsT = jnp.concatenate(rows_new, 0)  # (32, L) int32
 
             outs = []
             for p in order:
