@@ -63,7 +63,7 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide, gather,
             low0_ref, rng0_ref, pos0_ref,
             out_ref, lowout_ref, rngout_ref, posout_ref, statesout_ref,
             states, rowbuf, rowbuf2, lows, rngs, poss, win, fills,
-            plft_ref, ctxv, minf, stage, dsem):
+            plft_ref, ctxv, minf, lkbuf, stage, dsem):
     y = pl.program_id(0)
     sdt = jnp.int32 if wide else jnp.int8
     SCH = stage.shape[0]
@@ -100,8 +100,14 @@ def _kernel(bits, L, w, h, Wpad, capw, pbase, five, wide, gather,
             t8 = jnp.concatenate([tab_ref[...]] * 4, axis=0)  # (8, 128)
             i7 = idx & 127
             if L != 128:
-                i7 = jnp.concatenate(
-                    [i7, jnp.zeros((1, 128 - L), jnp.int32)], axis=1)
+                # pad to the 128-lane gather width through the staging
+                # row: a zero-concat here trips Mosaic layout inference
+                # in this kernel's context ("result/input offset
+                # mismatch on non-concat dimension"); a store/load
+                # round trip canonicalizes the layout, and the & 127
+                # re-mask bounds the stale pad lanes
+                lkbuf[0:1, pl.ds(0, L)] = i7
+                i7 = lkbuf[0:1, :] & 127
             g = jnp.take_along_axis(
                 t8, jnp.broadcast_to(i7, (8, 128)), axis=1)
             g_lo, g_hi = g[0:1, :], g[1:2, :]
@@ -510,6 +516,7 @@ def _dec_plane_call(bufw, states_pad, t1, qt0, qt1, qt2, qt3, qt4,
             pltpu.VMEM((1, L), jnp.int32),           # prev-prev left
             pltpu.VMEM((1, L), jnp.int32),           # ctx scalarizer
             pltpu.SMEM((1, 1), jnp.int32),           # min fill
+            pltpu.VMEM((8, 128), jnp.int32),         # gather-pad row
             pltpu.VMEM((SCH, CC, 128), jnp.int8),    # DMA staging
             pltpu.SemaphoreType.DMA(()),
         ],

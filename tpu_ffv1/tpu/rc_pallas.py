@@ -60,6 +60,11 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
             low0_ref, rng0_ref,
             prov_ref, lowout_ref, rngout_ref, statesout_ref,
             states, lowv, rngv, stage, dsem):
+    # FFV1_PALLAS_ABLATE stubs out one pixel-body stage for on-HW cost
+    # attribution (scripts/probes/ablate4.py); output is GARBAGE with
+    # any value set — timing-only, never production
+    import os as _os3
+    _ablate = _os3.environ.get("FFV1_PALLAS_ABLATE", "")
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
     sdt = jnp.int32 if wide else jnp.int8
@@ -89,37 +94,62 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
     eye32 = (jax.lax.broadcasted_iota(jnp.int32, (32, 32), 0) ==
              jax.lax.broadcasted_iota(jnp.int32, (32, 32), 1)) \
         .astype(jnp.bfloat16)
+    # wide transpose selector: contracts the (L, 128) raw row fetches
+    # down to (32, L) in the same MXU pass (k == p < 32 only)
+    sel32 = (jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0) ==
+             jax.lax.broadcasted_iota(jnp.int32, (32, 128), 1)) \
+        .astype(jnp.bfloat16)
 
-    def lookup_one(idx):
-        """one_tab[idx] for idx (1, L) int32 in [0, 255] -> (1, L) int32.
+    def table_lookup(idx):
+        """one_tab[idx] elementwise for (R, L) int32 idx in [0, 255].
 
-        The table is SHARED across lanes, so a 256-entry lookup is one
+        The table is SHARED across lanes, so a 256-entry lookup is a
         lane-dimension dynamic_gather (tpu.dynamic_gather, dims=[1]:
         y[s,j] = x[s, idx[s,j]] — table entries sit in the LANE axis,
         data lanes index it) + one arithmetic select on the high index
-        bit.  ~7 VPU ops, vs ~100 for the round-2 binary-select tree
-        over a (256, 1) sublane table (kept as the FFV1_PALLAS_GATHER=0
-        fallback).
+        bit.  ~7 VPU ops per 128-lane chunk, vs ~100 for the round-2
+        binary-select tree over a (256, 1) sublane table (kept as the
+        FFV1_PALLAS_GATHER=0 fallback).
 
         Mosaic requires the gather operands to span >= 2 sublanes —
         a (1, 128) take_along_axis fails lowering with "Shape mismatch
         in input, indices and output" (the round-3/4 'gather broken'
         regression was exactly this; scripts/probes/gather_probe4.py).
-        The lo/hi table halves tile the sublane axis ([lo, hi] x 4 ->
-        (8, 128)) so ONE legal 8-sublane gather yields both."""
+        R == 1 lookups therefore ride a row-tiled ([lo, hi] x 4 ->
+        (8, 128)) table so ONE legal 8-sublane gather yields both
+        halves; R >= 2 broadcasts the lo/hi rows.  Lane counts past
+        the 128-lane vreg width split into chunks (the gather operand
+        must be exactly 128 lanes), which keeps the cheap lookup form
+        available to large stream batches (batch >= 6 x 24 slices)."""
+        R = idx.shape[0]
+        i7 = idx & 127
+        hib = (idx >> 7) & 1
+        outs = []
+        for c0 in range(0, L, 128):
+            w = min(128, L - c0)
+            ic = i7[:, c0:c0 + w]
+            if w != 128:
+                ic = jnp.concatenate(
+                    [ic, jnp.zeros((R, 128 - w), jnp.int32)], axis=1)
+            if R == 1:
+                t18 = jnp.concatenate([t1_ref[...]] * 4, 0)  # (8, 128)
+                g = jnp.take_along_axis(
+                    t18, jnp.broadcast_to(ic, (8, 128)), axis=1)
+                g_lo, g_hi = g[0:1, :w], g[1:2, :w]
+            else:
+                g_lo = jnp.take_along_axis(
+                    jnp.broadcast_to(t1_ref[0:1, :], (R, 128)), ic,
+                    axis=1)[:, :w]
+                g_hi = jnp.take_along_axis(
+                    jnp.broadcast_to(t1_ref[1:2, :], (R, 128)), ic,
+                    axis=1)[:, :w]
+            outs.append(g_lo + (g_hi - g_lo) * hib[:, c0:c0 + w])
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 1)
+
+    def lookup_one(idx):
+        """one_tab[idx] for idx (1, L) int32 in [0, 255] -> (1, L)."""
         if gather:
-            t18 = jnp.concatenate([t1_ref[...]] * 4, axis=0)  # (8, 128)
-            i7 = idx & 127
-            if L != 128:
-                i7 = jnp.concatenate(
-                    [i7, jnp.zeros((1, 128 - L), jnp.int32)], axis=1)
-            g = jnp.take_along_axis(
-                t18, jnp.broadcast_to(i7, (8, 128)), axis=1)
-            g_lo, g_hi = g[0:1, :], g[1:2, :]
-            if L != 128:
-                g_lo = g_lo[:, :L]
-                g_hi = g_hi[:, :L]
-            return g_lo + (g_hi - g_lo) * ((idx >> 7) & 1)
+            return table_lookup(idx)
         lo = t1_ref[pl.ds(0, 128), :]                  # (128, 1) int32
         hi = t1_ref[pl.ds(128, 128), :]
         c = lo + (hi - lo) * ((idx >> 7) & 1)          # (128, L)
@@ -153,13 +183,18 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
         # 4x the VMEM of a 4-rows-per-sublane packing but drops the
         # dynamic lane rotate + group masks from both per-lane loops
         # (measured 54% + 27% of round-2 kernel time).
+        skip_read = _ablate == "no_loops"
+        skip_write = _ablate in ("no_loops", "no_write")
         row_list = []
         blocks = []
         subs = []
         bases = []
-        for lane in range(L):
+        for lane in ([] if skip_read else range(L)):
             ci = ctx_ref[i, lane]
-            base = pl.multiple_of((ci >> 3) * 8, 8)
+            if _ablate == "static_base":   # timing: static tile slice
+                base = 0
+            else:
+                base = pl.multiple_of((ci >> 3) * 8, 8)
             bases.append(base)
             block = states[lane, pl.ds(base, 8), :]    # (8, 128) sdt
             sub = ci & 7
@@ -176,7 +211,12 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
             row_list.append(rowfull[:, :32])
             blocks.append(block)
             subs.append(sub)
-        rows8 = jnp.concatenate(row_list, 0)      # (L, 32) int8
+        if skip_read:                  # timing floor: no per-lane loops
+            rows8 = jnp.broadcast_to(
+                states[0, pl.ds(0, 8), :][0:1, :32] +
+                vR[0:1, 0:1].astype(sdt) * 0, (L, 32)).astype(sdt)
+        else:
+            rows8 = jnp.concatenate(row_list, 0)  # (L, 32) int8
 
         # all chain/transition math in (32, L) / (1, L) row orientation
         rowsT = jax.lax.dot_general(
@@ -238,20 +278,7 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
                                 jnp.broadcast_to(sign_bit, (32, L)), bitT)
                 act32 = actT | (signsel & sign_act)
                 idx32 = jnp.where(b32 == 1, rowsT, (256 - rowsT) & 0xFF)
-                i7 = idx32 & 127
-                if L != 128:
-                    i7 = jnp.concatenate(
-                        [i7, jnp.zeros((32, 128 - L), jnp.int32)], axis=1)
-                g_lo = jnp.take_along_axis(
-                    jnp.broadcast_to(t1_ref[0:1, :], (32, 128)), i7,
-                    axis=1)
-                g_hi = jnp.take_along_axis(
-                    jnp.broadcast_to(t1_ref[1:2, :], (32, 128)), i7,
-                    axis=1)
-                if L != 128:
-                    g_lo = g_lo[:, :L]
-                    g_hi = g_hi[:, :L]
-                t32 = g_lo + (g_hi - g_lo) * ((idx32 >> 7) & 1)
+                t32 = table_lookup(idx32)
                 n32 = jnp.where(b32 == 1, t32, (256 - t32) & 0xFF)
                 new_rowsT = jnp.where(act32, n32, rowsT)
             else:
@@ -272,15 +299,21 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
                         rows_new.append(base[p:p + 1, :])
                 new_rowsT = jnp.concatenate(rows_new, 0)  # (32, L) int32
 
-            outs = []
-            for p in order:
-                pv, low, rng = chain_step(actT[p:p + 1, :],
-                                          rowsT[p:p + 1, :],
-                                          bitT[p:p + 1, :], low, rng)
+            if _ablate == "no_trans":
+                new_rowsT = rowsT
+            if _ablate == "no_chain":     # timing: skip low/range chain
+                outs = [rowsT[k % 32:k % 32 + 1, :] + eR
+                        for k in range(S)]
+            else:
+                outs = []
+                for p in order:
+                    pv, low, rng = chain_step(actT[p:p + 1, :],
+                                              rowsT[p:p + 1, :],
+                                              bitT[p:p + 1, :], low, rng)
+                    outs.append(pv)
+                pv, low, rng = chain_step(sign_act, s_sign, sign_bit,
+                                          low, rng)
                 outs.append(pv)
-            pv, low, rng = chain_step(sign_act, s_sign, sign_bit,
-                                      low, rng)
-            outs.append(pv)
         else:
             # extended schedule (coded widths 11..17): put_symbol's
             # FFMIN row caps give rows 10 and 31 SEVERAL decisions per
@@ -373,7 +406,7 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
         # lane 32 never lands.  (The previous per-lane 4x concat was
         # ~1/3 of the write loop, itself 53% of kernel time.)
         new_rows128 = jnp.concatenate([new_rows8] * 4, axis=1)  # (L', 128)
-        for lane in range(L):
+        for lane in ([] if skip_write else range(L)):
             base_r = bases[lane]   # reuse the read loop's scalar fetch
             # lane's row: STATIC single-sublane slice (measured fine on
             # v5e Mosaic — only DYNAMIC non-8-aligned slices are
@@ -411,6 +444,10 @@ def _kernel(bits, L, CC, CH, S, order, compact, wide, gather,
             prov_ref[i, :, :] = jnp.concatenate(
                 srows + [total, ovf, zero, zero], 0)   # (8, L)
         else:
+            # NOTE: per-slot row stores (prov_ref[i, k, :] = pv)
+            # measured SLOWER (+14 ms/step) than this concat + block
+            # store — Mosaic's dynamic-leading-index row store is not
+            # cheap; keep the temp
             prov_ref[i, :, :] = jnp.concatenate(outs, 0)   # (S, L)
         lowv[pl.ds(0, 1), :] = low
         rngv[pl.ds(0, 1), :] = rng
@@ -470,17 +507,15 @@ def _pallas_scan(ctx, diff, active, states0, one_tab, zero_tab,
     # signature for API compatibility with the XLA kernels
     del zero_tab
     import os as _os
-    # the lane-axis dynamic_gather lookups address a (2, 128) row table
-    # and are only wired for L <= 128 lanes; larger lane counts use the
-    # (still byte-identical) binary-select tree.  ``gather=None`` takes
-    # the env default; callers pass False on the staged retry after a
-    # Mosaic lowering failure of the gather form (observed on v5e axon
-    # for the non-mesh encode: "Shape mismatch in input, indices and
-    # output"), keeping the kernel tier alive via the tree form
+    # the lane-axis dynamic_gather lookups address a (2, 128) row
+    # table; lane counts past 128 split into 128-lane gather chunks
+    # (see _kernel.table_lookup).  ``gather=None`` takes the env
+    # default; callers pass False on the staged retry after a Mosaic
+    # lowering failure of the gather form, keeping the kernel tier
+    # alive via the (byte-identical) binary-select tree form
     if gather is None:
         gather = (_os.environ.get("FFV1_PALLAS_GATHER", "1")
                   not in ("0", "false"))
-    gather = gather and L <= 128
     # (2, 128) row form: entries 0..127 / 128..255 in the LANE axis for
     # the dynamic_gather lookup (see _kernel.lookup_one); the tree
     # fallback wants the (256, 1) sublane column form
