@@ -28,18 +28,28 @@ def synth(n=4, seed=0):
     return out
 
 
+def _sync(r):
+    # block_until_ready is a no-op on the axon remote backend; force
+    # completion by fetching one element of every output
+    import jax
+    jax.tree_util.tree_map(
+        lambda a: np.asarray(a.ravel()[0]) if hasattr(a, "ravel") else a,
+        r)
+    return r
+
+
 def timed(label, fn, reps=3):
-    fn()  # warm/compile
+    _sync(fn())  # warm/compile
     t0 = time.time()
     for _ in range(reps):
-        r = fn()
+        r = _sync(fn())
     dt = (time.time() - t0) / reps
     print(f"{label}: {dt*1000:.0f} ms", flush=True)
     return r, dt
 
 
 def main():
-    batch = 4
+    batch = int(__import__("os").environ.get("SP_BATCH", "4"))
     frames = synth()
     enc = TPUFFV1Encoder(EncoderParams(
         width=1920, height=1080, pix_fmt="yuv420p", level=3, coder=2,
