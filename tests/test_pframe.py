@@ -61,6 +61,44 @@ def test_pframe_lossless_and_beats_intra_on_panning():
     assert total_mc < total_base * 0.75, (total_mc, total_base)
 
 
+def test_epzs_adversarial_periodic_content():
+    """EPZS's documented caveat (pframe/motion.py): periodic content
+    whose SAD surface aliases (a diagonal gradient — every dy+dx=const
+    candidate matches) can trap the coarse stage-1 grid in a local
+    minimum.  The pruned search must stay LOSSLESS regardless, and the
+    size regression vs the exhaustive search must stay bounded."""
+    n, dx, dy = 5, 3, -3          # motion along the aliasing direction
+    period = 8
+    base = (np.add.outer(np.arange(H + 64), np.arange(W + 64))
+            % period * (255 // (period - 1))).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        y = base[32 + t * dy:32 + t * dy + H,
+                 32 + t * dx:32 + t * dx + W].copy()
+        u = np.full((H // 2, W // 2), 100, np.uint8)
+        v = np.full((H // 2, W // 2), 160, np.uint8)
+        frames.append([y, u, v])
+
+    params = EncoderParams(width=W, height=H, pix_fmt="yuv420p", level=3,
+                           coder=2, slices=4, gop_size=n, slicecrc=1)
+    sizes = {}
+    for me in ("full", "epzs"):
+        enc = FFV1PEncoder(params, radius=7, experimental=True, me=me)
+        dec = FFV1PDecoder(W, H, enc.extradata)
+        total = 0
+        for f in frames:
+            pkt, key = enc.encode_frame(f)
+            total += len(pkt)
+            planes, _ = dec.decode_frame(pkt)
+            for a, b in zip(planes, f):       # lossless even when the
+                assert np.array_equal(         # search picks a bad MV
+                    np.asarray(a, np.int64), np.asarray(b, np.int64))
+        sizes[me] = total
+    # compression may regress in the trap, but boundedly: the residual
+    # coder absorbs the miss (worst observed ~1.02x; assert a margin)
+    assert sizes["epzs"] <= sizes["full"] * 1.5, sizes
+
+
 def test_pframe_gray_odd_dims_lossless():
     w, h = 83, 57   # odd dims: slice/block padding paths
     frames = _panning_texture(n=4, w=w + (w % 2), h=h + (h % 2))
