@@ -535,6 +535,128 @@ def bench_16bit_archival(budget_s=400.0):
         frames_per_step=batch, geometry=f"{W}x{H} yuv444p16")
 
 
+def bench_rgb14_archival(budget_s=400.0):
+    """BASELINE config 3, RGB flavor: deepest-RGB device encode the
+    reference fork supports — gbrp14 (ffv1enc.c:1435 pix_fmts cap at
+    GBRP14; RGB48/GBRP16 postdate this fork, so no byte-exact oracle
+    exists for them).  Exercises the RCT (ffv1enc.c:446-473 two-byte
+    RGB line read + bgr RCT) AND the extended (bits+1 = 15) schedule
+    together on the device tier."""
+    import jax
+    from tpu_ffv1.codec.params import EncoderParams
+    from tpu_ffv1.tpu.encoder import TPUFFV1Encoder
+
+    W, H = 960, 540
+    batch = int(os.environ.get("FFV1_BENCH_BATCH16", "4"))
+    rng = np.random.RandomState(5)
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 129 % 16384)
+    frames = []
+    for t in range(3):
+        planes = [((base + t * 1031 + k * 4099) % 16384).astype(
+            np.uint16) + rng.randint(0, 63, (H, W)).astype(np.uint16)
+            for k in range(3)]
+        frames.append([(p & 0x3FFF).astype(np.uint16) for p in planes])
+    enc = TPUFFV1Encoder(EncoderParams(
+        width=W, height=H, pix_fmt="gbrp14le", level=3, coder=2,
+        slices=12), batch=batch)
+    assert enc.ext and enc.rgb
+
+    def step_frames(k):
+        return [frames[(i + k) % 3] for i in range(batch)]
+    t0 = time.time()
+    enc.encode_frames(step_frames(0))
+    log(f"gbrp14 first step (compile): {time.time() - t0:.1f}s")
+    steps = []
+    n_steps = 6
+    enc.submit_frames(step_frames(1))
+    t0 = time.time()
+    for k in range(2, n_steps + 2):
+        enc.submit_frames(step_frames(k))
+        enc.collect_frames()
+        steps.append(time.time() - t0)
+        t0 = time.time()
+        if sum(steps) > budget_s:
+            break
+    enc.collect_frames()
+    step_ms = sorted(s * 1000 for s in steps)
+    med = step_ms[len(step_ms) // 2]
+    log(f"gbrp14 archival steady: median {med:.0f} ms/step "
+        f"({batch} frames/step)")
+    return batch * W * H / (med / 1000) / 1e6, dict(
+        median_ms=round(med, 1), n_steps=len(step_ms),
+        frames_per_step=batch, geometry=f"{W}x{H} gbrp14 (RCT + ext)",
+        note="fork's pix_fmts cap at GBRP14 (ffv1enc.c:1435); "
+             "RGB48 has no oracle in this reference")
+
+
+def bench_decode16_sink(budget_s=400.0):
+    """16-bit DECODE throughput (VERDICT r4 missing #3): yuv444p16
+    streams through the ext Pallas decode kernel with a device-resident
+    sink (planes stay in HBM), isolating decode compute from the
+    tunnel's 16-bit plane downloads.  Reference: ffv1dec.c:100-181 at
+    bits=16."""
+    from tpu_ffv1.codec.encoder import FFV1Encoder
+    from tpu_ffv1.codec.params import EncoderParams
+    from tpu_ffv1.tpu.decoder import TPUFFV1Decoder
+
+    W, H = 960, 540
+    batch = int(os.environ.get("FFV1_BENCH_DEC16_BATCH", "4"))
+    rng = np.random.RandomState(3)
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 257 % 65536)
+
+    def mk_frames(seed):
+        rng = np.random.RandomState(seed)
+        out = []
+        for t in range(3):
+            planes = [((base + t * 1031 + k * 7919) % 65536).astype(
+                np.uint16) + rng.randint(0, 255, (H, W)).astype(np.uint16)
+                for k in range(3)]
+            out.append([(p & 0xFFFF).astype(np.uint16) for p in planes])
+        return out
+
+    def mk_enc():
+        return FFV1Encoder(EncoderParams(
+            width=W, height=H, pix_fmt="yuv444p16le", level=3, coder=2,
+            slices=12))
+
+    streams = []
+    for bi in range(batch):
+        senc = mk_enc()
+        streams.append([senc.encode_frame(f)[0]
+                        for f in mk_frames(bi)])
+    dec = TPUFFV1Decoder(W, H, mk_enc().extradata, batch=batch,
+                         device_out=True)
+    nf = len(streams[0])
+
+    def step_pkts(k):
+        return [streams[i][k % nf] for i in range(batch)]
+
+    t0 = time.time()
+    dec.decode_frames(step_pkts(0))
+    log(f"decode16 first step (compile): {time.time() - t0:.1f}s")
+    depth = int(os.environ.get("FFV1_BENCH_DEPTH", "2"))
+    n_steps = 6
+    steps = []
+    t0 = time.time()
+    for d in range(depth):
+        dec.submit_frames(step_pkts(1 + d))
+    for k in range(depth + 1, n_steps + depth + 1):
+        dec.collect_frames()
+        steps.append(time.time() - t0)
+        t0 = time.time()
+        if k < n_steps + 1:
+            dec.submit_frames(step_pkts(k))
+        if sum(steps) > budget_s and not dec._pending:
+            break
+    step_ms = sorted(s * 1000 for s in steps)
+    med = step_ms[len(step_ms) // 2]
+    log(f"decode16 sink steady: median {med:.0f} ms/step "
+        f"({batch} frames/step)")
+    return batch * W * H / (med / 1000) / 1e6, dict(
+        median_ms=round(med, 1), n_steps=len(step_ms),
+        frames_per_step=batch, geometry=f"{W}x{H} yuv444p16")
+
+
 def bench_pframe_720p(budget_s=600.0, me=None):
     """BASELINE config 4: 720p P-frame encode on the device pipeline
     (motion search + OBMC + residual + MV section all on device,
@@ -1066,6 +1188,20 @@ def main():
             log(f"tpu 16-bit archival: {d16_mpix:.2f} Mpixel/s")
         except Exception as e:
             log(f"16-bit bench failed ({e})")
+    rgb14_mpix = rgb14_stats = None
+    dec16_mpix = dec16_stats = None
+    if have_dev and os.environ.get("FFV1_BENCH_SKIP_16BIT",
+                                   "0") not in ("1", "true"):
+        try:
+            rgb14_mpix, rgb14_stats = bench_rgb14_archival()
+            log(f"tpu gbrp14 archival: {rgb14_mpix:.2f} Mpixel/s")
+        except Exception as e:
+            log(f"gbrp14 bench failed ({e})")
+        try:
+            dec16_mpix, dec16_stats = bench_decode16_sink()
+            log(f"tpu decode16 sink: {dec16_mpix:.2f} Mpixel/s")
+        except Exception as e:
+            log(f"decode16 bench failed ({e})")
     tiny_ms = tiny_stats = None
     if have_dev and os.environ.get("FFV1_BENCH_SKIP_TINY",
                                    "0") not in ("1", "true"):
@@ -1161,6 +1297,12 @@ def main():
     if d16_mpix is not None:
         out["archival16_mpix_s"] = round(d16_mpix, 3)
         out["archival16_steps"] = d16_stats
+    if rgb14_mpix is not None:
+        out["rgb14_mpix_s"] = round(rgb14_mpix, 3)
+        out["rgb14_steps"] = rgb14_stats
+    if dec16_mpix is not None:
+        out["decode16_mpix_s"] = round(dec16_mpix, 3)
+        out["decode16_steps"] = dec16_stats
     if tiny_ms is not None:
         out["tiny64_latency_ms"] = round(tiny_ms, 2)
         out["tiny64_stats"] = tiny_stats
