@@ -733,8 +733,18 @@ class TPUFFV1Encoder:
                     ctxs, diffs, acts, states0, self.one_tab,
                     self.zero_tab, lows, ranges, bits,
                     self.pallas_chunk, gather=self.pallas_gather)
-                out, counts, overflow = finalize_compact(cm, low, rng,
-                                                         prefixes, plens)
+                if hostcompact:
+                    # round-5 measured split: the no-sort combo — L1
+                    # compaction in-kernel, L2 + carry on device, C
+                    # segment-copy concat on the host — drops BOTH the
+                    # ~60 ms XLA L1 reductions and the ~63 ms sort from
+                    # the batch-5 1080p step
+                    from .rc_scan_lanes import finalize_compact_hostcompact
+                    out, counts, overflow = finalize_compact_hostcompact(
+                        cm, low, rng, prefixes, plens)
+                else:
+                    out, counts, overflow = finalize_compact(
+                        cm, low, rng, prefixes, plens)
                 packed = cm  # placeholder (overflow re-runs on XLA path)
             elif self.use_pallas and use_pallas:
                 packed, low, rng, states_out = rc_encode_pallas_packed(

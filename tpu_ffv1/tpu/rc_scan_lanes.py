@@ -626,6 +626,39 @@ def finalize_packed_hostcompact(packed, low, rng, prefix, prefix_len,
         axis=1)
     vld = (jnp.arange(S2, dtype=jnp.int32)[None, :, None]
            < total_pix[:, None, :])
+    gcount, overflow, flat_b, flat_v = _group_compact(
+        slots, vld, overflow, G, C)
+    return _hostcompact_slab(flat_b, flat_v, gcount, overflow, low,
+                             rng, prefix, prefix_len)
+
+
+@jax.jit
+def finalize_compact_hostcompact(cm, low, rng, prefix, prefix_len):
+    """No-sort finalize from the IN-KERNEL-compacted Pallas output
+    (rc_encode_pallas_compact): the per-pixel (L1) compaction already
+    happened inside the kernel, so this only runs the 16-px group
+    level + carry resolution and packs the hostcompact slab — the
+    round-5 measured split put L1's XLA masked reductions at ~60 ms
+    and the sort at ~63 ms of the batch-5 1080p step; this path pays
+    neither on device.  Same slab contract/consumer
+    (native.compact_groups) as finalize_packed_hostcompact."""
+    S2 = 4
+    N, _, L = cm.shape
+    slots = cm[:, :S2, :]
+    total_pix = cm[:, S2, :]
+    overflow = jnp.max(cm[:, S2 + 1, :], axis=0) > 0
+    vld = (jnp.arange(S2, dtype=jnp.int32)[None, :, None]
+           < total_pix[:, None, :])
+    gcount, overflow, flat_b, flat_v = _group_compact(
+        slots, vld, overflow, 16, 24)
+    return _hostcompact_slab(flat_b, flat_v, gcount, overflow, low,
+                             rng, prefix, prefix_len)
+
+
+def _group_compact(slots, vld, overflow, G: int, C: int):
+    """Second compaction level: (N, S2, L) per-pixel slots -> (NG, C, L)
+    16-pixel-group slots + per-group counts."""
+    N, S2, L = slots.shape
     gs = slots.reshape(N // G, G * S2, L)
     gv = vld.reshape(N // G, G * S2, L).astype(jnp.int32)
     ginc = jnp.cumsum(gv, axis=1)
@@ -640,9 +673,14 @@ def finalize_packed_hostcompact(packed, low, rng, prefix, prefix_len,
     NG = N // G
     flat_b = jnp.transpose(gslots, (2, 0, 1)).reshape(L, NG * C)
     flat_v = jnp.transpose(gvld, (2, 0, 1)).reshape(L, NG * C)
+    return gcount, overflow, flat_b, flat_v
 
-    # carry resolution over [prefix | data | tail] (invalid slots are
-    # neutral propagators) — same recurrence as _resolve_compact
+
+def _hostcompact_slab(flat_b, flat_v, gcount, overflow, low, rng,
+                      prefix, prefix_len):
+    """Carry-resolve [prefix | group slots | tail] and pack the
+    hostcompact slab (see finalize_packed_hostcompact docstring)."""
+    L = flat_b.shape[0]
     pcap = prefix.shape[1]
 
     def _pv(lw):
